@@ -1,0 +1,1 @@
+"""One module per operator family from SURVEY.md §2."""

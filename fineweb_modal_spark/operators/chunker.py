@@ -1,0 +1,78 @@
+"""Document chunker UDTF (U1) — the reference's flagship transform.
+
+/root/reference/chunker.py:69-105 tokenizes each document and emits
+sliding 500-token windows with 50-token overlap (stride 450), keeping
+the documented tail behavior (a pure-overlap tail >= 50 tokens IS
+emitted; < 50 is dropped — README.md:21, validate.ipynb cell 14).
+The reference runs this per-row in thread pools inside per-file Modal
+containers (chunker.py:108-149); here it is ONE `mapInPandas` over
+Arrow batches — Spark task scheduling replaces the container fan-out,
+Arrow batching replaces the 200-row thread batches (SURVEY.md §3.1).
+
+Window semantics come from spec/tokenizer.py (shared with the pytest
+oracle); this module only handles the Spark plumbing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..spec import tokenizer as tok
+
+
+def chunk_output_schema(input_schema: StructType, id_col: str, keep_cols: Iterable[str]) -> StructType:
+    fields = [input_schema[id_col]]
+    fields += [input_schema[c] for c in keep_cols]
+    fields += [
+        StructField("chunk_index", IntegerType(), False),
+        StructField("chunk_text", StringType(), True),
+        StructField("chunk_tokens", ArrayType(StringType()), True),
+        StructField("chunk_token_count", IntegerType(), False),
+    ]
+    return StructType(fields)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: Iterable[str] = (),
+) -> DataFrame:
+    """1 document row → N chunk rows, Arrow-batched.
+
+    keep_cols mirror the reference's KEEP_KEYS passthrough
+    (chunker.py:17+92-93).
+    """
+    keep_cols = tuple(keep_cols)
+    schema = chunk_output_schema(df.schema, id_col, keep_cols)
+    cols = [id_col, *keep_cols, text_col]
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in (id_col, *keep_cols)}
+            out.update(
+                chunk_index=[], chunk_text=[], chunk_tokens=[], chunk_token_count=[]
+            )
+            texts = pdf[text_col].tolist()
+            for row_i, text in enumerate(texts):
+                for ch in tok.chunk_text(text if text is not None else ""):
+                    out[id_col].append(pdf[id_col].iat[row_i])
+                    for c in keep_cols:
+                        out[c].append(pdf[c].iat[row_i])
+                    out["chunk_index"].append(ch["chunk_index"])
+                    out["chunk_text"].append(ch["chunk_text"])
+                    out["chunk_tokens"].append(ch["chunk_tokens"])
+                    out["chunk_token_count"].append(ch["chunk_token_count"])
+            yield pd.DataFrame(out)
+
+    return df.select(*cols).mapInPandas(emit, schema=schema)

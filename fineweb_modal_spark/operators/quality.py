@@ -1,0 +1,170 @@
+"""Heuristic quality signals + keep/drop — pure built-in columns.
+
+Spark rendering of spec/quality_rules.py (gopher/FineWeb-style rules
+generalizing the reference's threshold filters, filter.py:50 and
+summary.py:53-55). Everything here is JVM-side whole-stage-codegen
+column expressions — zero Python in the hot path (north rule); the
+perplexity stage (Python numpy) lives in operators/perplexity.py.
+
+`signals_sql` renders the byte-equivalent DuckDB oracle for the
+driver gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import sqldialect as sd
+from ..spec import quality_rules as qr
+
+_TOKS = "__toks"
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def with_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the per-document quality-signal columns.
+
+    One split() materialized once per row; all ratios float64 to match
+    the SQL oracle exactly.
+    """
+    text = F.col(text_col)
+    toks = F.col(_TOKS)
+    n_words = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(toks))
+    stop_arr = [F.lit(s) for s in qr.STOPWORDS]
+    out = (
+        df.withColumn(_TOKS, _tokens(text))
+        .withColumn("n_words", n_words)
+        .withColumn(
+            "mean_word_len",
+            F.when(
+                F.col("n_words") > 0,
+                F.length(F.regexp_replace(text, r"\s+", "")).cast("double")
+                / F.col("n_words"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(
+                F.col("n_words") > 0,
+                F.size(
+                    F.filter(toks, lambda t: F.lower(t).isin(qr.STOPWORDS))
+                ).cast("double")
+                / F.col("n_words"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.when(
+                F.length(text) > 0,
+                F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double")
+                / F.length(text),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "distinct_ratio",
+            F.when(
+                F.col("n_words") > 0,
+                F.size(F.array_distinct(toks)).cast("double") / F.col("n_words"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop(_TOKS)
+    )
+    return out
+
+
+def keep_expr(lang_col: str | None = None) -> tuple[Column, Column]:
+    """(keep:boolean, drop_reason:string) from the signal columns.
+
+    lang_col: when given, the stopword rule applies only to rows whose
+    predicted language is 'en' (spec keep_py semantics)."""
+    stop_applies = (
+        F.lit(True) if lang_col is None else (F.col(lang_col) == "en")
+    )
+    reason = (
+        F.when(F.col("n_words") < qr.MIN_WORDS, F.lit("too_few_words"))
+        .when(F.col("n_words") > qr.MAX_WORDS, F.lit("too_many_words"))
+        .when(
+            ~F.col("mean_word_len").between(
+                qr.MIN_MEAN_WORD_LEN, qr.MAX_MEAN_WORD_LEN
+            ),
+            F.lit("mean_word_len_out_of_range"),
+        )
+        .when(
+            stop_applies & (F.col("stopword_ratio") < qr.MIN_STOPWORD_RATIO),
+            F.lit("low_stopword_ratio"),
+        )
+        .when(F.col("digit_ratio") > qr.MAX_DIGIT_RATIO, F.lit("high_digit_ratio"))
+        .when(
+            F.col("distinct_ratio") < qr.MIN_DISTINCT_RATIO,
+            F.lit("low_distinct_ratio"),
+        )
+    )
+    return reason.isNull(), reason
+
+
+def with_keep(df: DataFrame, lang_col: str | None = None) -> DataFrame:
+    keep, reason = keep_expr(lang_col)
+    return df.withColumn("keep", keep).withColumn("drop_reason", reason)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle rendering (identical spec, DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+
+def signals_sql(
+    d: str,
+    table: str = "documents",
+    text_col: str = "text",
+    key_cols: str = "doc_id",
+    round_out: bool = True,
+) -> str:
+    """SELECT of key + signal columns, renderable for either dialect.
+
+    round_out=True rounds the double outputs to 6 dp for the driver's
+    value-hash compare; keep_sql uses the raw values so threshold
+    comparisons are never flipped by rounding."""
+    toks = sd.ws_tokens(text_col, d)
+    n_words = sd.n_words_sql(text_col, d)
+    in_list = ", ".join(f"'{s}'" for s in qr.STOPWORDS)
+    stop_hits = sd.arr_len(
+        sd.arr_filter("__toks", f"t -> lower(t) IN ({in_list})", d), d
+    )
+    distinct = sd.arr_len(sd.arr_distinct("__toks", d), d)
+    no_ws = sd.strip_ws_len(text_col, d)
+    digits = f"length({sd.regexp_replace_all(text_col, '[^0-9]', '', d)})"
+    inner = f"SELECT {key_cols}, {text_col}, {toks} AS __toks, {n_words} AS n_words FROM {table}"
+
+    def rnd(e: str) -> str:
+        return f"round({e}, 6)" if round_out else e
+
+    return f"""
+SELECT {key_cols},
+       n_words,
+       {rnd(f"CASE WHEN n_words > 0 THEN CAST({no_ws} AS DOUBLE) / n_words ELSE 0.0 END")} AS mean_word_len,
+       {rnd(f"CASE WHEN n_words > 0 THEN CAST({stop_hits} AS DOUBLE) / n_words ELSE 0.0 END")} AS stopword_ratio,
+       {rnd(f"CASE WHEN length({text_col}) > 0 THEN CAST({digits} AS DOUBLE) / length({text_col}) ELSE 0.0 END")} AS digit_ratio,
+       {rnd(f"CASE WHEN n_words > 0 THEN CAST({distinct} AS DOUBLE) / n_words ELSE 0.0 END")} AS distinct_ratio
+FROM ({inner})
+""".strip()
+
+
+def keep_sql(d: str, table: str = "documents", text_col: str = "text", key_cols: str = "doc_id") -> str:
+    """keep/drop decision rendered over the signal subquery."""
+    sig = signals_sql(d, table=table, text_col=text_col, key_cols=key_cols, round_out=False)
+    reason = f"""CASE
+  WHEN n_words < {qr.MIN_WORDS} THEN 'too_few_words'
+  WHEN n_words > {qr.MAX_WORDS} THEN 'too_many_words'
+  WHEN mean_word_len < {qr.MIN_MEAN_WORD_LEN} OR mean_word_len > {qr.MAX_MEAN_WORD_LEN} THEN 'mean_word_len_out_of_range'
+  WHEN stopword_ratio < {qr.MIN_STOPWORD_RATIO} THEN 'low_stopword_ratio'
+  WHEN digit_ratio > {qr.MAX_DIGIT_RATIO} THEN 'high_digit_ratio'
+  WHEN distinct_ratio < {qr.MIN_DISTINCT_RATIO} THEN 'low_distinct_ratio'
+  ELSE NULL END"""
+    return (
+        f"SELECT {key_cols}, ({reason}) IS NULL AS keep, {reason} AS drop_reason "
+        f"FROM ({sig})"
+    )

@@ -1,0 +1,52 @@
+"""The north-rule DAG: langid → quality-score → PII/toxicity scrub.
+
+One logical plan over the pages table; Catalyst fuses the pure-column
+stages (signals, keep, scrub) into the same whole-stage-codegen spans
+and pipelines the two Arrow UDF stages (langid, perplexity) without
+materializing between them. No shuffle anywhere in the per-document
+path — the DAG is embarrassingly parallel, so 1000-executor scaling
+is limited only by scan/write parallelism (partition count).
+
+Reference analog: the chunk→filter→embed→summary scripts composed
+end-to-end (SURVEY.md §3), minus the per-script volume round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import langid, perplexity, quality, scrub
+from ..sources import pages as pages_mod
+
+
+def pipeline_df(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, [html,] text, lang, ...) → scored + scrubbed."""
+    df = langid.with_langid(pages)
+    df = quality.with_signals(df)
+    df = perplexity.with_perplexity(df)
+    df = quality.with_keep(df, lang_col="lang_pred")
+    df = scrub.with_scrubbed(df)
+    return df
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str, with_html: bool = False) -> DataFrame:
+    return pipeline_df(pages_mod.load_pages(spark, sf_dir, with_html=with_html))
+
+
+def pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship rollup: per predicted language, keep/drop counts and
+    mean signals — the engine's analog of the reference's corpus-wide
+    summary.py:69-84."""
+    df = run_pipeline(spark, sf_dir)
+    return (
+        df.groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).alias("n_keep"),
+            F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+            F.round(F.avg("n_words"), 4).alias("avg_words"),
+            F.round(F.avg("lang_conf"), 4).alias("avg_conf"),
+        )
+        .orderBy("lang_pred")
+    )

@@ -1,0 +1,180 @@
+"""Quality-signal + keep/drop rule spec (gopher/FineWeb-style).
+
+Single source of truth for the heuristic quality stage. Three
+consumers, kept in lockstep by construction:
+  * operators/quality.py — Spark built-in column expressions
+  * __spark_entry__.oracle_sql — equivalent DuckDB SQL
+  * signals_py / keep_py here — the pure-Python oracle for pytest
+
+Every signal is chosen to be expressible per-row in BOTH Spark SQL
+and DuckDB without UDFs (north rule: zero per-row Python), and the
+two SQL renderings are tested hash-equal by the driver gate.
+
+Reference analog: the threshold predicates of
+/root/reference/filter.py:50 and summary.py:53-55, generalized to
+gopher-style rules per the BASELINE.json north_star.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+# English stopword subset used for the stopword-ratio signal.
+# Kept SMALL and fixed: it is inlined into SQL on both engines.
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "that", "it", "for"]
+
+# keep/drop thresholds (inclusive bounds where noted)
+MIN_WORDS = 10
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 1.5
+MAX_MEAN_WORD_LEN = 12.0
+MIN_STOPWORD_RATIO = 0.01
+MAX_DIGIT_RATIO = 0.3
+MIN_DISTINCT_RATIO = 0.05
+
+# ordered drop reasons — first failing rule wins
+DROP_REASONS = [
+    "too_few_words",
+    "too_many_words",
+    "mean_word_len_out_of_range",
+    "low_stopword_ratio",
+    "high_digit_ratio",
+    "low_distinct_ratio",
+]
+
+_WS = re.compile(r"\s+")
+
+
+def signals_py(text: str) -> dict:
+    """Pure-Python oracle of the per-document quality signals."""
+    t = (text or "").strip()
+    tokens = _WS.split(t) if t else []
+    n_words = len(tokens)
+    n_chars = len(text or "")
+    no_ws_len = sum(len(w) for w in tokens)
+    digits = sum(1 for c in (text or "") if c.isdigit())
+    lower = [w.lower() for w in tokens]
+    stop_hits = sum(1 for w in lower if w in STOPWORDS)
+    distinct = len(set(tokens))
+    return {
+        "n_words": n_words,
+        "n_chars": n_chars,
+        "mean_word_len": (no_ws_len / n_words) if n_words else 0.0,
+        "stopword_ratio": (stop_hits / n_words) if n_words else 0.0,
+        "digit_ratio": (digits / n_chars) if n_chars else 0.0,
+        "distinct_ratio": (distinct / n_words) if n_words else 0.0,
+    }
+
+
+def keep_py(text: str, lang_pred: str | None = None) -> tuple[bool, str | None]:
+    """Pure-Python oracle of the keep/drop decision.
+
+    The stopword rule only applies to (predicted-)English documents
+    when lang_pred is provided; the standalone SQL-gated variant
+    passes lang_pred=None and applies it unconditionally.
+    """
+    s = signals_py(text)
+    if s["n_words"] < MIN_WORDS:
+        return False, "too_few_words"
+    if s["n_words"] > MAX_WORDS:
+        return False, "too_many_words"
+    if not (MIN_MEAN_WORD_LEN <= s["mean_word_len"] <= MAX_MEAN_WORD_LEN):
+        return False, "mean_word_len_out_of_range"
+    if (lang_pred is None or lang_pred == "en") and s["stopword_ratio"] < MIN_STOPWORD_RATIO:
+        return False, "low_stopword_ratio"
+    if s["digit_ratio"] > MAX_DIGIT_RATIO:
+        return False, "high_digit_ratio"
+    if s["distinct_ratio"] < MIN_DISTINCT_RATIO:
+        return False, "low_distinct_ratio"
+    return True, None
+
+
+# ---------------------------------------------------------------------------
+# Character-bigram perplexity model (KenLM-style stand-in, hermetic).
+# ---------------------------------------------------------------------------
+
+# Seed corpus: the lexicon text of spec.langid_model — a pure function
+# of the repo, no external data.
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+_A = len(_ALPHABET)
+_CHAR_IDX = {c: i for i, c in enumerate(_ALPHABET)}
+
+
+def _seed_corpus() -> str:
+    from . import langid_model
+
+    words: list[str] = []
+    for lang in ("en", "fr", "de", "es"):
+        words.extend(langid_model.LEXICONS[lang])
+    return " ".join(words)
+
+
+def build_bigram_logprobs():
+    """(A, A) float32 log P(c2|c1), Laplace-smoothed, from the seed corpus."""
+    import numpy as np
+
+    counts = np.ones((_A, _A), dtype=np.float64)  # Laplace
+    corpus = _seed_corpus()
+    norm = [_CHAR_IDX.get(c, _CHAR_IDX[" "]) for c in corpus.lower()]
+    for a, b in zip(norm, norm[1:]):
+        counts[a, b] += 1.0
+    logp = np.log(counts / counts.sum(axis=1, keepdims=True))
+    return logp.astype(np.float32)
+
+
+_LOGP = None
+
+
+def _logp_table():
+    global _LOGP
+    if _LOGP is None:
+        _LOGP = build_bigram_logprobs()
+    return _LOGP
+
+
+def perplexity_py(text: str) -> float:
+    """Oracle perplexity: exp(-mean bigram logprob) over normalized chars.
+
+    Unknown chars map to space; texts with < 2 usable chars → ppl of
+    the uniform model (A)."""
+    logp = _logp_table()
+    idx = [_CHAR_IDX.get(c, _CHAR_IDX[" "]) for c in (text or "").lower()]
+    if len(idx) < 2:
+        return float(_A)
+    total = 0.0
+    for a, b in zip(idx, idx[1:]):
+        total += float(logp[a, b])
+    return float(math.exp(-total / (len(idx) - 1)))
+
+
+def perplexity_batch(texts, logp=None):
+    """Vectorized batch perplexity (numpy) — used inside the Spark UDF.
+
+    Identical math to perplexity_py; float32 accumulation is avoided
+    (sums in float64) so both paths agree to ~1e-6 relative.
+    """
+    import numpy as np
+
+    if logp is None:
+        logp = _logp_table()
+    out = np.empty(len(texts), dtype=np.float64)
+    space = _CHAR_IDX[" "]
+    lut = np.full(1 << 16, space, dtype=np.int32)
+    for c, i in _CHAR_IDX.items():
+        lut[ord(c)] = i
+    for i, text in enumerate(texts):
+        t = (text or "").lower()
+        if len(t) < 2:
+            out[i] = float(_A)
+            continue
+        if t.isascii():
+            codes = np.frombuffer(t.encode("ascii"), dtype=np.uint8).astype(np.int64)
+            idx = lut[codes]
+        else:
+            # non-BMP chars would split into utf-16 surrogates; take the
+            # oracle-identical per-char path for the rare non-ascii text
+            idx = np.array([_CHAR_IDX.get(c, space) for c in t], dtype=np.int64)
+        lp = logp[idx[:-1], idx[1:]].astype(np.float64)
+        out[i] = math.exp(-lp.sum() / (len(idx) - 1))
+    return out

@@ -1,0 +1,127 @@
+"""Spark operators vs the pure-Python spec oracles (SURVEY.md §5:
+independent-oracle differential testing, the reference's
+validate.ipynb pattern)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fineweb_modal_spark.operators import langid, perplexity, quality, scrub
+from fineweb_modal_spark.operators.chunker import chunk_documents
+from fineweb_modal_spark.spec import langid_model, quality_rules, scrub_spec
+from fineweb_modal_spark.spec import tokenizer as tok
+
+from .conftest import SF_ORACLE
+
+EDGE_TEXTS = [
+    "",                                   # empty (embed-tei.py:235 guard)
+    "   ",                                # whitespace only
+    "word",                               # single token
+    " ".join(f"t{i}" for i in range(500)),   # exactly MAX_TOKENS
+    " ".join(f"t{i}" for i in range(501)),   # just over
+    " ".join(f"t{i}" for i in range(901)),   # validate.ipynb cell 14 case
+    " ".join(f"t{i}" for i in range(950)),   # 50-token pure-overlap tail bug
+    " ".join(f"t{i}" for i in range(949)),   # 49-token tail → dropped
+    "the quick brown fox contact bob@x.io and 10.1.2.3 call +1 (555) 010-1234 frak",
+    "le la des est dans une pour que paris",
+    "der die das und ist nicht berlin",
+    "的 是 在 了 我 有 北京",
+]
+
+
+def test_chunker_matches_oracle(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(EDGE_TEXTS)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.chunk_index): (r.chunk_text, list(r.chunk_tokens), r.chunk_token_count)
+        for r in chunk_documents(df).collect()
+    }
+    want = {}
+    for i, t in enumerate(EDGE_TEXTS):
+        for ch in tok.chunk_text(t):
+            want[(i, ch["chunk_index"])] = (
+                ch["chunk_text"], ch["chunk_tokens"], ch["chunk_token_count"]
+            )
+    assert got == want
+
+
+def test_chunker_tail_semantics():
+    # 901 tokens → [0,500) + [450,901) (validate.ipynb cell 14)
+    assert tok.chunk_tokens(901) == [(0, 500), (450, 901)]
+    # 950 → the documented ≥OVERLAP pure-overlap tail IS emitted
+    assert tok.chunk_tokens(950) == [(0, 500), (450, 950), (900, 950)]
+    # 949 → 49-token tail dropped
+    assert tok.chunk_tokens(949) == [(0, 500), (450, 949)]
+    assert tok.chunk_tokens(500) == [(0, 500)]
+    assert tok.chunk_tokens(0) == [(0, 0)]
+
+
+def test_langid_matches_oracle(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(EDGE_TEXTS)], "doc_id long, text string"
+    )
+    rows = langid.with_langid(df).select("doc_id", "lang_pred", "lang_conf").collect()
+    for r in rows:
+        want_lang, want_conf = langid_model.predict_one(EDGE_TEXTS[r.doc_id])
+        assert r.lang_pred == want_lang
+        assert abs(r.lang_conf - want_conf) < 1e-6
+
+
+def test_langid_languages():
+    assert langid_model.predict_one("le la des est dans une pour que")[0] == "fr"
+    assert langid_model.predict_one("der die das und ist nicht")[0] == "de"
+    assert langid_model.predict_one("el los las es una por con para")[0] == "es"
+    assert langid_model.predict_one("的 是 在 了 我 有")[0] == "zh"
+    assert langid_model.predict_one("the cat sat on the mat and it was flat")[0] == "en"
+    assert langid_model.predict_one("")[0] == "und"
+
+
+def test_perplexity_matches_oracle(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(EDGE_TEXTS)], "doc_id long, text string"
+    )
+    rows = perplexity.with_perplexity(df).select("doc_id", "ppl").collect()
+    for r in rows:
+        want = quality_rules.perplexity_py(EDGE_TEXTS[r.doc_id])
+        assert r.ppl == pytest.approx(want, rel=1e-6), r.doc_id
+
+
+def test_scrub_matches_oracle(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(EDGE_TEXTS)], "doc_id long, text string"
+    )
+    rows = scrub.with_scrubbed(df).select("doc_id", "scrubbed_text").collect()
+    for r in rows:
+        assert r.scrubbed_text == scrub_spec.scrub_py(EDGE_TEXTS[r.doc_id]), r.doc_id
+
+
+def test_scrub_replaces_all_pii():
+    s = scrub_spec.scrub_py(
+        "mail bob@x.io or ALICE+tag@sub.example.org ip 192.168.0.1 "
+        "phone +1 (555) 010-1234 also 555-010-9999 and FRAK you"
+    )
+    assert "@" not in s and "192.168" not in s and "555" not in s
+    assert s.count("<EMAIL>") == 2 and "<IP>" in s and s.count("<PHONE>") == 2
+    assert "<TOX>" in s
+
+
+def test_quality_signals_and_keep_match_oracle(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(200)
+    rows = (
+        quality.with_keep(quality.with_signals(docs))
+        .select("doc_id", "text", "n_words", "mean_word_len", "stopword_ratio",
+                "digit_ratio", "distinct_ratio", "keep", "drop_reason")
+        .collect()
+    )
+    assert len(rows) == 200
+    for r in rows:
+        want = quality_rules.signals_py(r.text)
+        assert r.n_words == want["n_words"]
+        assert r.mean_word_len == pytest.approx(want["mean_word_len"], abs=1e-9)
+        assert r.stopword_ratio == pytest.approx(want["stopword_ratio"], abs=1e-9)
+        assert r.digit_ratio == pytest.approx(want["digit_ratio"], abs=1e-9)
+        assert r.distinct_ratio == pytest.approx(want["distinct_ratio"], abs=1e-9)
+        keep, reason = quality_rules.keep_py(r.text)
+        assert (r.keep, r.drop_reason) == (keep, reason)

@@ -1,0 +1,99 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs each __spark_entry__.queries()[name] on Spark and the matching
+oracle_sql()[name] on DuckDB over the same sf dir, then compares
+row count, column names and an order-insensitive value hash —
+approximating CORRECTNESS_r{N}.json so mismatches surface before the
+driver runs.
+
+Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+import duckdb
+
+
+def _norm_cell(v):
+    if v is None:
+        return "\0"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, str, str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(_norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return len(rows), ",".join(sorted(cols)), h
+
+
+def run(sf_dir: str, only: list[str] | None = None) -> bool:
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from fineweb_modal_spark.session import get_spark
+
+    spark = get_spark()
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    ok = True
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        sfp = frame_fingerprint(scols, srows)
+        if name not in oracles:
+            print(f"{name:36s} rows={sfp[0]:>7} (rows-only; no oracle)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            orows = res.fetchall()
+            ocols = [c[0] for c in res.description]
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:36s} ORACLE ERROR: {str(e).splitlines()[0]}")
+            ok = False
+            continue
+        ofp = frame_fingerprint(ocols, orows)
+        status = "OK " if sfp == ofp else "MISMATCH"
+        if sfp != ofp:
+            ok = False
+        print(
+            f"{name:36s} {status} spark(rows={sfp[0]},h={sfp[2]}) duck(rows={ofp[0]},h={ofp[2]})"
+        )
+        if sfp[1] != ofp[1]:
+            print(f"  cols spark={sfp[1]}")
+            print(f"  cols duck ={ofp[1]}")
+    return ok
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or None
+    sys.exit(0 if run(sf, names) else 1)
