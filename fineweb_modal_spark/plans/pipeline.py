@@ -2,8 +2,8 @@
 
 One logical plan over the pages table; Catalyst fuses the pure-column
 stages (signals, keep, scrub) into the same whole-stage-codegen spans
-and pipelines the two Arrow UDF stages (langid, perplexity) without
-materializing between them. No shuffle anywhere in the per-document
+around a SINGLE fused Arrow UDF stage (langid+perplexity,
+operators/scoring.py). No shuffle anywhere in the per-document
 path — the DAG is embarrassingly parallel, so 1000-executor scaling
 is limited only by scan/write parallelism (partition count).
 
@@ -16,15 +16,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import langid, perplexity, quality, scrub
+from ..operators import quality, scoring, scrub
 from ..sources import pages as pages_mod
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the scan yields fewer splits than
+    cores (small/few files). At corpus scale (many ~128 MiB splits)
+    this is a no-op — scan planning already saturates the cluster —
+    so the shuffle only ever happens when it is cheap."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def pipeline_df(pages: DataFrame) -> DataFrame:
     """pages(url, warc_ts, [html,] text, lang, ...) → scored + scrubbed."""
-    df = langid.with_langid(pages)
+    df = scoring.with_scores(_ensure_parallelism(pages))
     df = quality.with_signals(df)
-    df = perplexity.with_perplexity(df)
     df = quality.with_keep(df, lang_col="lang_pred")
     df = scrub.with_scrubbed(df)
     return df
