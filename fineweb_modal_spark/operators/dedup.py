@@ -1,0 +1,182 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, exact-hash dedup.
+
+The reference has no dedup — this is the training-data-toolbox
+extension. Architecture (scale-first):
+
+* MinHash signatures are computed per-row as array folds over the
+  row's own shingles — ONE scan, ZERO shuffle, no explode. At 10^12
+  docs this stage is embarrassingly parallel.
+* LSH banding shuffles once on (band, bucket) — tiny rows (two ids +
+  a hash); candidate pairs are verified with exact shingle Jaccard,
+  so false LSH positives never survive to output.
+* SimHash explodes tokens and bit-majority-votes via a map-side
+  combinable groupBy — the same two-phase partial-agg shape as the
+  reference's top10map/top10reduce (SURVEY.md §3.3), handled by one
+  Catalyst plan.
+
+Every fragment comes from spec/hashing.py and renders identically for
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..spec import hashing as H
+
+S = H.SPARK
+
+
+def corpus_with_near_dups_sql(d: str, table: str = "documents") -> str:
+    """documents ∪ mutated copies (every 10th doc gets a tail token) —
+    deterministic near-dup positives so LSH recall is testable."""
+    return (
+        f"SELECT doc_id, text FROM {table} "
+        f"UNION ALL "
+        f"SELECT doc_id + 1000000 AS doc_id, text || ' near duplicate tail' AS text "
+        f"FROM {table} WHERE doc_id % 10 = 0"
+    )
+
+
+def with_minhash(docs: DataFrame) -> DataFrame:
+    """doc_id, __sh (distinct shingle set), sig_0..sig_{K-1}."""
+    toks = H.tokens_lower("text", S)
+    sh = H.shingles("__toks", S)
+    out = docs.selectExpr("doc_id", f"{toks} AS __toks").selectExpr(
+        "doc_id", f"{sh} AS __sh"
+    )
+    sig_cols = [
+        F.expr(H.minhash_sig("__sh", k, S)).alias(f"sig_{k}")
+        for k in range(H.N_HASHES)
+    ]
+    return out.select(
+        "doc_id", F.array_distinct("__sh").alias("__sh"), *sig_cols
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    return with_minhash(docs).drop("__sh")
+
+
+def lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate pairs via banded LSH + exact-Jaccard verification.
+
+    Returns (doc_a, doc_b, est_sim, jaccard). est_sim is the MinHash
+    estimate (fraction of equal signature rows); jaccard is exact on
+    the distinct 3-shingle sets. Output keeps all candidates — callers
+    threshold. Shuffles: one on (band,bucket) for candidates, then two
+    id-equi-joins to hydrate shingle sets (broadcastable when the
+    candidate set is small; AQE decides).
+    """
+    sigs = with_minhash(docs)
+    band_arr = F.array(
+        *[F.expr(H.band_hash(b, S)) for b in range(H.N_BANDS)]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_arr).alias("band", "bucket")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("__sh").alias("sh_a"),
+        *[F.col(f"sig_{k}").alias(f"siga_{k}") for k in range(H.N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("__sh").alias("sh_b"),
+        *[F.col(f"sig_{k}").alias(f"sigb_{k}") for k in range(H.N_HASHES)],
+    )
+    est = sum(
+        F.when(F.col(f"siga_{k}") == F.col(f"sigb_{k}"), 1).otherwise(0)
+        for k in range(H.N_HASHES)
+    ) / float(H.N_HASHES)
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 6).alias("est_sim"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def lsh_pairs_oracle_sql(d: str) -> str:
+    """DuckDB rendering of the full LSH pipeline (same spec constants)."""
+    corpus = corpus_with_near_dups_sql(d)
+    toks = H.tokens_lower("text", d)
+    sh = H.shingles("__toks", d)
+    sig_cols = ", ".join(
+        f"{H.minhash_sig('__sh', k, d)} AS sig_{k}" for k in range(H.N_HASHES)
+    )
+    dedup_sh = "array_distinct(__sh)" if d == S else "list_distinct(__sh)"
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {H.band_hash(b, d)} AS bucket FROM sigs"
+        for b in range(H.N_BANDS)
+    )
+    est = " + ".join(
+        f"(CASE WHEN sa.sig_{k} = sb.sig_{k} THEN 1 ELSE 0 END)"
+        for k in range(H.N_HASHES)
+    )
+    inter = f"len(list_intersect(sa.sh, sb.sh))"
+    uni = f"len(list_distinct(list_concat(sa.sh, sb.sh)))"
+    return f"""
+WITH corpus AS ({corpus}),
+sigs0 AS (SELECT doc_id, {sh} AS __sh FROM (SELECT doc_id, {toks} AS __toks FROM corpus)),
+sigs AS (SELECT doc_id, {dedup_sh} AS sh, {sig_cols} FROM sigs0),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST({est} AS DOUBLE) / {H.N_HASHES}, 6) AS est_sim,
+       round(CAST({inter} AS DOUBLE) / {uni}, 6) AS jaccard
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+""".strip()
+
+
+def with_simhash(docs: DataFrame, bits: int = H.SIMHASH_BITS) -> DataFrame:
+    """doc_id, simhash — explode + bit-majority vote (map-side combine)."""
+    toks = H.tokens_lower("text", S)
+    h_expr = H.md5_i64("'w:' || __tok", S)
+    exploded = docs.selectExpr("doc_id", f"explode({toks}) AS __tok").selectExpr(
+        "doc_id", f"{h_expr} AS __h"
+    )
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(__h, {j}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    voted = exploded.groupBy("doc_id").agg(*votes)
+    recon = sum(
+        F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for j in range(bits)
+    )
+    return voted.select("doc_id", recon.alias("simhash"))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """md5 hash-groupBy with min-id representative (gate: dedup_exact)."""
+    return docs.groupBy(F.md5(text_col).alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies")
+    )

@@ -1,0 +1,230 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the training-data-toolbox contract:
+
+* `cosine_topk` — brute-force cosine top-k: the correctness baseline.
+  Self-join (broadcast when one side fits) + window row_number. At
+  query-batch scale (few query vectors vs a big corpus) the query
+  side is broadcast and the corpus is scanned once — the right
+  physical plan for "find neighbors of these N docs in 100 TB".
+* `neardup_cosine_lsh` — random-hyperplane sign-LSH: P deterministic
+  ±1 hyperplanes (md5-derived, shared with the DuckDB oracle) bucket
+  vectors by sign pattern; only in-bucket pairs get exact cosine.
+  The bucket shuffle replaces the O(n²) cross join — the scale path
+  for embedding near-dup removal.
+
+The reference's nearest analog is the LanceDB IVF-PQ index build
+(lancer.py:203-216, SURVEY.md S11) — an external index; here both
+paths are plain Catalyst plans over the same table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..spec import hashing as H
+
+S = H.SPARK
+
+N_PLANES = 8
+COS_THRESHOLD = 0.99
+
+
+def _dot(a: str, b: str, d: str) -> str:
+    if d == S:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+        )
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def _norm(a: str, d: str) -> str:
+    if d == S:
+        return (
+            f"sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (s, x) -> s + x))"
+        )
+    return (
+        f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+
+
+def cosine_topk(emb: DataFrame, k: int = 3) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank): top-k neighbors per vector.
+
+    Brute force; the corpus side of the join is broadcast by AQE when
+    small enough, else sort-merge. rank ties broken by neighbor_id.
+    """
+    a = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vb")
+    )
+    cos = F.expr(_dot("va", "vb", S)) / (
+        F.expr(_norm("va", S)) * F.expr(_norm("vb", S))
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def cosine_topk_oracle_sql(d: str, k: int = 3, table: str = "embeddings") -> str:
+    dot = _dot("a.embedding", "b.embedding", d)
+    na = _norm("a.embedding", d)
+    nb = _norm("b.embedding", d)
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ({dot}) / (({na}) * ({nb})) AS cosine
+  FROM {table} a JOIN {table} b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH near-duplicate path
+# ---------------------------------------------------------------------------
+
+
+def corpus_with_dup_vectors_sql(d: str, table: str = "embeddings") -> str:
+    """embeddings ∪ scaled copies (every 10th vector ×1.01 → cosine 1
+    with its source) — deterministic positives for the LSH path."""
+    scale = (
+        "transform(embedding, x -> CAST(x * CAST(1.01 AS FLOAT) AS FLOAT))"
+        if d == S
+        else "list_transform(embedding, x -> CAST(x * CAST(1.01 AS FLOAT) AS FLOAT))"
+    )
+    return (
+        f"SELECT vec_id, embedding FROM {table} "
+        f"UNION ALL "
+        f"SELECT vec_id + 100000 AS vec_id, {scale} AS embedding "
+        f"FROM {table} WHERE vec_id % 10 = 0"
+    )
+
+
+def plane_sign_sql(d: str) -> str:
+    """(p, dim, s∈{-1,1}) hyperplane table — md5-derived, dialect-shared."""
+    h = H.md5_i64("CAST(p AS STRING) || '_' || CAST(dim AS STRING)", d) if d == S else H.md5_i64(
+        "CAST(p AS VARCHAR) || '_' || CAST(dim AS VARCHAR)", d
+    )
+    bit = f"(({h}) & 1)" if d != S else f"({h} & 1)"
+    if d == S:
+        return (
+            f"SELECT p, dim, CASE WHEN {bit} = 1 THEN 1 ELSE -1 END AS s "
+            f"FROM (SELECT explode(sequence(0, {N_PLANES - 1})) AS p) "
+            f"LATERAL VIEW explode(sequence(1, 64)) t AS dim"
+        )
+    return (
+        f"SELECT p, dim, CASE WHEN {bit} = 1 THEN 1 ELSE -1 END AS s "
+        f"FROM generate_series(0, {N_PLANES - 1}) t1(p), generate_series(1, 64) t2(dim)"
+    )
+
+
+def neardup_pairs_lsh(spark, emb_corpus: DataFrame) -> DataFrame:
+    """(vec_a, vec_b, cosine) for in-bucket pairs with cosine ≥ threshold.
+
+    posexplode(embedding) → broadcast-join the 512-row plane table →
+    per (vec,plane) signed dot → sign-bit bucket → in-bucket self-join
+    → exact cosine verify. Shuffles: one groupBy(vec,p), one bucket
+    join — no O(n²) stage anywhere.
+    """
+    planes = spark.sql(plane_sign_sql(S))
+    comp = emb_corpus.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("dim", F.col("pos") + 1)
+    dots = (
+        comp.join(F.broadcast(planes), "dim")
+        .groupBy("vec_id", "p")
+        .agg(
+            F.sum(F.col("val").cast("double") * F.col("s")).alias("dot")
+        )
+    )
+    buckets = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.expr("CAST(pow(2, p) AS BIGINT)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("bucket")
+    )
+    with_vec = buckets.join(emb_corpus, "vec_id")
+    a = with_vec.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = with_vec.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+    )
+    cos = F.expr(_dot("va", "vb", S)) / (
+        F.expr(_norm("va", S)) * F.expr(_norm("vb", S))
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= COS_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def neardup_oracle_sql(d: str) -> str:
+    corpus = corpus_with_dup_vectors_sql(d)
+    planes = plane_sign_sql(d)
+    dot = _dot("a.embedding", "b.embedding", d)
+    na = _norm("a.embedding", d)
+    nb = _norm("b.embedding", d)
+    return f"""
+WITH corpus AS ({corpus}),
+planes AS ({planes}),
+comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS val
+  FROM corpus
+),
+dots AS (
+  SELECT c.vec_id, pl.p, sum(CAST(c.val AS DOUBLE) * pl.s) AS dot
+  FROM comp c JOIN planes pl ON c.dim = pl.dim
+  GROUP BY c.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+),
+wv AS (SELECT b.bucket, c.vec_id, c.embedding FROM buckets b JOIN corpus c ON b.vec_id = c.vec_id),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ({dot}) / (({na}) * ({nb})) AS cosine
+  FROM wv a JOIN wv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cosine, 6) AS cosine
+FROM pairs WHERE cosine >= {COS_THRESHOLD}
+""".strip()

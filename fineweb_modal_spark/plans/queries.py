@@ -380,3 +380,169 @@ def q_chunk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chunks = chunk_documents(docs, id_col="doc_id", keep_cols=())
     return chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup family: MinHash signatures, LSH candidate pairs, SimHash
+# (training-data toolbox; spec/hashing.py shared with the oracles)
+# ---------------------------------------------------------------------------
+
+from ..operators import binpack, dedup, multimodal, similarity, textstats  # noqa: E402
+from ..spec import hashing as H  # noqa: E402
+
+
+@register("minhash_signatures", H.minhash_signatures_select(D))
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature — one scan, zero shuffle (array folds
+    over the row's own shingles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs)
+
+
+@register("dedup_minhash_lsh", dedup.lsh_pairs_oracle_sql(D))
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs + exact-Jaccard verify over a corpus
+    with constructed near-dups (documents ∪ tail-mutated copies)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    corpus = spark.sql(dedup.corpus_with_near_dups_sql(sd.SPARK))
+    return dedup.lsh_pairs(corpus)
+
+
+@register("dedup_simhash", H.simhash_select(D))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc: explode + bit-majority (partial agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.with_simhash(docs)
+
+
+@register("doc_fingerprint", textstats.fingerprint_sql(D))
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash over md5-hashed tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+@register("token_counts_bpe", textstats.token_counts_sql(D))
+def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts (pure codegen)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.with_token_counts(docs).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (brute-force baseline + LSH path)
+# ---------------------------------------------------------------------------
+
+
+@register("cosine_topk", similarity.cosine_topk_oracle_sql(D))
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors per vector (broadcast +
+    window) — the ANN correctness baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, k=3)
+
+
+@register("neardup_cosine_lsh", similarity.neardup_oracle_sql(D))
+def q_neardup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing + in-bucket exact-cosine verify over a corpus
+    with constructed duplicate vectors — the embedding near-dup scale
+    path (no O(n²) stage)."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    corpus = spark.sql(similarity.corpus_with_dup_vectors_sql(sd.SPARK))
+    return similarity.neardup_pairs_lsh(spark, corpus)
+
+
+# ---------------------------------------------------------------------------
+# J3 hydration join, array gather, JSON extraction (SURVEY §2.6/2.8)
+# ---------------------------------------------------------------------------
+
+_TOPK_HYDRATED_ORACLE = f"""
+WITH t AS ({_TOPK_ORACLE})
+SELECT t.feature, t.rank, t.vec_id, d.source, d.n_chars
+FROM t JOIN documents d ON t.vec_id = d.doc_id
+"""
+
+
+@register("topk_hydrated", _TOPK_HYDRATED_ORACLE)
+def q_topk_hydrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (top10reduce.py:26-39): winners joined back to documents —
+    tiny topk side broadcast by AQE."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    t = topk.topk_per_feature(emb, k=10).select(
+        "feature", "rank", "vec_id", F.round("activation", 6).alias("activation")
+    )
+    return t.join(docs, t.vec_id == docs.doc_id).select(
+        "feature", "rank", "vec_id", "source", "n_chars"
+    )
+
+
+@register(
+    "embedding_argmax",
+    """SELECT vec_id, list_position(embedding, list_max(embedding)) AS argmax_dim,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_act FROM embeddings""",
+)
+def q_embedding_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7/§2.8 array gather: per-row argmax over the embedding array."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.expr("array_position(embedding, array_max(embedding))").cast("int").alias("argmax_dim"),
+        F.round(F.expr("CAST(array_max(embedding) AS DOUBLE)"), 6).alias("max_act"),
+    )
+
+
+@register(
+    "events_json",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+       FROM events GROUP BY 1""",
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (get_json_object) + agg."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_mod")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing (metadata oracle-checked; decode stubbed
+# deterministically and ALSO oracle-checked via its closed form)
+# ---------------------------------------------------------------------------
+
+_HTML_DUCK = (
+    f"encode('{pages_mod.HTML_PREFIX}' || ({pages_mod.TEXT_SQL}) || '{pages_mod.HTML_SUFFIX}')"
+)
+
+
+@register("multimodal_meta", multimodal.binary_meta_sql(D, _HTML_DUCK))
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata: octet_length + hex magic prefix."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=True)
+    return multimodal.with_binary_meta(p)
+
+
+@register("multimodal_decode", multimodal.decode_stub_sql(D, _HTML_DUCK))
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode stub over the binary column (Arrow plumbing
+    proven by the closed-form oracle of its deterministic fake)."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=True)
+    return multimodal.decode_stub(p)
+
+
+# ---------------------------------------------------------------------------
+# U6 bin-packing (no SQL equivalent — rows-only gate check)
+# ---------------------------------------------------------------------------
+
+
+@register("binpack_batches")
+def q_binpack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget packing (embed-tei.py:218-274) via
+    range-partition + sortWithinPartitions + mapInPandas."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("token_count")
+    )
+    return binpack.pack_batches(docs, budget=4096)

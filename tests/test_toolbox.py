@@ -1,0 +1,133 @@
+"""Tests for the training-data toolbox: dedup, similarity, textstats,
+multimodal plumbing, bin-packing.
+
+Semantic properties beyond the driver's hash-parity gate: LSH recall
+on constructed near-dups, SimHash locality, packing invariants.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from fineweb_modal_spark.functions import sqldialect as sd
+from fineweb_modal_spark.operators import binpack, dedup, multimodal, similarity
+from fineweb_modal_spark.sources import pages as pages_mod
+from fineweb_modal_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    load_table(spark, SF, "documents").createOrReplaceTempView("documents")
+    return spark.sql(dedup.corpus_with_near_dups_sql(sd.SPARK)).cache()
+
+
+def test_lsh_recall_on_constructed_neardups(spark, corpus):
+    """Every (doc, tail-mutated copy) pair must survive banding AND
+    score high exact Jaccard; unrelated pairs must not dominate."""
+    pairs = dedup.lsh_pairs(corpus).collect()
+    found = {(r.doc_a, r.doc_b): r for r in pairs}
+    expected = [r.doc_id for r in corpus.where("doc_id < 1000000 AND doc_id % 10 = 0").collect()]
+    assert expected, "fixture must contain mutated copies"
+    hits = 0
+    for d in expected:
+        r = found.get((d, d + 1000000))
+        if r is not None and r.jaccard > 0.8:
+            hits += 1
+    # banding with 4 bands x 2 rows on >0.9-Jaccard pairs: expect near-total recall
+    assert hits / len(expected) >= 0.9
+
+
+def test_minhash_estimates_track_jaccard(spark, corpus):
+    pairs = dedup.lsh_pairs(corpus).where("jaccard > 0.9").collect()
+    assert pairs
+    for r in pairs:
+        assert r.est_sim >= 0.5  # 8-hash estimate of a >0.9 pair
+
+
+def test_simhash_locality(spark, corpus):
+    """Near-identical texts land within a few bits; disjoint-vocabulary
+    texts land far apart. (Corpus docs share one vocabulary, so their
+    pairwise distances are legitimately small — controlled texts are
+    the right vehicle for the far case.)"""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappb"),
+        (3, "uno dos tres cuatro cinco seis siete ocho nueve diez"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = {r.doc_id: r.simhash for r in dedup.with_simhash(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[1], sh[2]) <= 8
+    assert ham(sh[1], sh[3]) > ham(sh[1], sh[2])
+    assert ham(sh[1], sh[3]) >= 10
+    # corpus property: tail-mutated copies stay within a few bits
+    shc = {r.doc_id: r.simhash for r in dedup.with_simhash(corpus).collect()}
+    dup_d = [
+        ham(shc[d], shc[d + 1000000])
+        for d in shc
+        if d < 1000000 and d + 1000000 in shc
+    ]
+    assert dup_d and max(dup_d) <= 12 and sum(dup_d) / len(dup_d) <= 4
+
+
+def test_cosine_topk_finds_planted_duplicate(spark):
+    emb = load_table(spark, SF, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    corpus = spark.sql(similarity.corpus_with_dup_vectors_sql(sd.SPARK))
+    top = similarity.cosine_topk(corpus, k=1).collect()
+    best = {r.query_id: (r.neighbor_id, r.cosine) for r in top}
+    planted = [q for q in best if q >= 100000]
+    assert planted
+    for q in planted:
+        nid, cos = best[q]
+        assert nid == q - 100000 and cos == pytest.approx(1.0, abs=1e-5)
+
+
+def test_neardup_lsh_finds_all_planted_pairs(spark):
+    emb = load_table(spark, SF, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    corpus = spark.sql(similarity.corpus_with_dup_vectors_sql(sd.SPARK))
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.neardup_pairs_lsh(spark, corpus).collect()
+    }
+    expected = {
+        (r.vec_id, r.vec_id + 100000)
+        for r in emb.where("vec_id % 10 = 0").collect()
+    }
+    # scaled copies share sign buckets exactly → recall must be total
+    assert expected <= got
+
+
+def test_binpack_invariants(spark):
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.col("n_chars").alias("token_count")
+    )
+    budget = 4096
+    out = binpack.pack_batches(docs, budget=budget).collect()
+    n_in = docs.count()
+    assert len(out) == n_in
+    assert len({r.doc_id for r in out}) == n_in
+    by_batch: dict[int, list] = {}
+    for r in out:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    for rows in by_batch.values():
+        mx = max(r.token_count for r in rows)
+        assert mx * len(rows) <= budget or len(rows) == 1
+        assert all(r.batch_max_tokens == mx for r in rows)
+        assert all(r.batch_size == len(rows) for r in rows)
+
+
+def test_multimodal_decode_matches_pure_python(spark):
+    p = pages_mod.load_pages(spark, SF, with_html=True)
+    got = {r.doc_id: r for r in multimodal.decode_stub(p).limit(50).collect()}
+    src = {r.doc_id: r.html for r in p.select("doc_id", "html").collect()}
+    for did, r in got.items():
+        blen = len(src[did])
+        assert r.byte_len == blen
+        assert r.width == 100 + blen % 100
+        assert r.height == 100 + blen % 77
+        assert r.checksum == (blen * 2654435761) % 1_000_000_007
