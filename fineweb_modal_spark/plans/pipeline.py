@@ -25,6 +25,8 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     cores (small/few files). At corpus scale (many ~128 MiB splits)
     this is a no-op — scan planning already saturates the cluster —
     so the shuffle only ever happens when it is cheap."""
+    if df.isStreaming:  # micro-batch sizing is the trigger's concern
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -546,3 +546,70 @@ def q_binpack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_chars").alias("token_count")
     )
     return binpack.pack_batches(docs, budget=4096)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (AvailableNow) — watermarked windowed agg and
+# stateful sessionization materialized to batch results
+# ---------------------------------------------------------------------------
+
+from ..sources.tables import table_path  # noqa: E402
+from ..streaming import incremental as streaming_inc  # noqa: E402
+from ..streaming import sessionize as streaming_sess  # noqa: E402
+
+_HOURLY_STREAM_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("events_hourly_stream", _HOURLY_STREAM_ORACLE)
+def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → watermark → windowed agg → memory sink, AvailableNow;
+    single-batch source ⇒ the watermark drops nothing and the result
+    must equal the batch/DuckDB aggregation exactly."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="gate_stream_")
+    spark.read.parquet(table_path(sf_dir, "events")).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/events")
+    return streaming_inc.hourly_event_counts(
+        spark, f"{d}/events", f"{d}/ckpt", query_name=f"gate_hourly_{tag}"
+    )
+
+
+@register("sessionize_stream")
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState gap-sessionization (closed sessions);
+    rows-only gate — the batch-window equivalence is asserted in
+    tests/test_streaming.py."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="gate_sess_")
+    spark.read.parquet(table_path(sf_dir, "events")).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/events")
+    schema = spark.read.parquet(f"{d}/events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{d}/events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    name = f"gate_sessions_{tag}"
+    q = (
+        streaming_sess.sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,156 @@
+"""Committed partitioned writes + checkpoint/resume (north rule).
+
+The reference's fault-tolerance story is per-shard idempotent writes
+plus `volume.commit()` (chunker.py:155-161, SURVEY.md §1.3): same
+input file → same output file, rerun only what failed. The Spark
+engine generalizes that to *partition-granular snapshot commits*:
+
+* output is a parquet table partitioned by a date-ish key (`ds` from
+  `warc_ts`) — the Iceberg mapping is `writeTo(...).overwritePartitions()`
+  per ds; offline (no Iceberg jars) each partition directory is
+  overwritten atomically-enough via `replaceWhere`-style dynamic
+  partition overwrite;
+* a MANIFEST parquet table records one row per committed partition
+  (partition value, row counts, bytes hint, wall seconds, input
+  fingerprint) — these are the "per-partition lineage + metrics rows";
+* `resume_run` recomputes only partitions missing from the manifest —
+  the kill-and-resume contract (tests/test_resume.py kills mid-run
+  and completes on the second invocation without redoing work).
+
+Metrics ride on `df.observe(...)` so they cost no extra pass; the
+salt column spreads a skewed host across `n_salts` write tasks
+(host-level skew, north rule) while `partitionBy("ds")` keeps the
+table layout query-prunable.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_SALTS = 16
+MANIFEST_DIR = "_manifest"
+
+
+def with_partition_cols(
+    df: DataFrame,
+    ts_col: str = "warc_ts",
+    key_col: str = "url",
+    n_salts: int = N_SALTS,
+    granularity: str = "day",
+) -> DataFrame:
+    """ds (crawl ts truncated to `granularity`, as string) + salt.
+
+    Production partitions by day; tests pass granularity="minute" so
+    the minutes-wide fixture corpus still yields many partitions. The
+    salt is NOT a layout column — it only shapes the shuffle so one
+    hot host cannot pin a whole write task (pages.py constructs ~1/3
+    of urls on host h0 to exercise exactly this)."""
+    fmt = "yyyy-MM-dd" if granularity == "day" else "yyyy-MM-dd-HH-mm"
+    return df.withColumn(
+        "ds", F.date_format(F.date_trunc(granularity, F.col(ts_col)), fmt)
+    ).withColumn("salt", F.pmod(F.xxhash64(key_col), F.lit(n_salts)))
+
+
+def list_partitions(df: DataFrame) -> list[str]:
+    return [str(r.ds) for r in df.select("ds").distinct().collect()]
+
+
+def committed_partitions(spark: SparkSession, out_dir: str) -> set[str]:
+    mpath = os.path.join(out_dir, MANIFEST_DIR)
+    try:
+        return {str(r.ds) for r in spark.read.parquet(mpath).select("ds").collect()}
+    except Exception:  # noqa: BLE001 — manifest absent on first run
+        return set()
+
+
+def _write_manifest_row(spark: SparkSession, out_dir: str, row: dict) -> None:
+    mpath = os.path.join(out_dir, MANIFEST_DIR)
+    spark.createDataFrame([row]).coalesce(1).write.mode("append").parquet(mpath)
+
+
+def write_partition(
+    spark: SparkSession,
+    df_partition: DataFrame,
+    out_dir: str,
+    ds: str,
+    extra_lineage: dict | None = None,
+) -> dict:
+    """Overwrite ONE ds partition + append its manifest/metrics row.
+
+    Idempotent: rerunning a ds replaces its directory and appends a
+    fresh manifest row (readers take the latest row per ds). Iceberg
+    form: `df.writeTo(tbl).overwritePartitions()` + snapshot commit.
+    """
+    obs = Observation(f"metrics_{ds}")
+    observed = df_partition.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum(F.length("scrubbed_text").cast("long")).alias("out_chars"),
+    )
+    t0 = time.monotonic()
+    (
+        observed.repartition(F.col("salt"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, f"ds={ds}"))
+    )
+    m = obs.get
+    row = {
+        "ds": ds,
+        "n_rows": int(m["n_rows"] or 0),
+        "n_keep": int(m["n_keep"] or 0),
+        "out_chars": int(m["out_chars"] or 0),
+        "wall_s": round(time.monotonic() - t0, 3),
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        **(extra_lineage or {}),
+    }
+    _write_manifest_row(spark, out_dir, row)
+    return row
+
+
+def resume_run(
+    spark: SparkSession,
+    build_df: Callable[[SparkSession], DataFrame],
+    out_dir: str,
+    fail_after: int | None = None,
+) -> list[dict]:
+    """Process every ds partition not yet in the manifest.
+
+    build_df returns the full pipeline DataFrame (must already carry
+    ds/salt/keep/scrubbed_text). Partition loop is driver-side by
+    design — checkpoint granularity IS the partition; each iteration
+    is one distributed job + one manifest commit, exactly the
+    reference's rerun-failed-shards model (SURVEY.md §1.3).
+
+    fail_after: test hook — raise after N commits (kill simulation).
+    """
+    df = build_df(spark)
+    done = committed_partitions(spark, out_dir)
+    pending = sorted(set(list_partitions(df)) - done)
+    rows = []
+    for i, ds in enumerate(pending):
+        if fail_after is not None and i >= fail_after:
+            raise RuntimeError(f"injected failure before partition {ds}")
+        part = df.where(F.col("ds") == F.lit(ds))
+        rows.append(write_partition(spark, part, out_dir, ds))
+    return rows
+
+
+def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.option("basePath", out_dir).parquet(
+        os.path.join(out_dir, "ds=*")
+    )
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Latest manifest row per ds (rewrites supersede older rows)."""
+    m = spark.read.parquet(os.path.join(out_dir, MANIFEST_DIR))
+    w = F.row_number().over(
+        Window.partitionBy("ds").orderBy(F.desc("committed_at"))
+    )
+    return m.withColumn("__rn", w).where("__rn = 1").drop("__rn")

@@ -1,0 +1,99 @@
+"""Incremental/streaming execution: Structured Streaming runtime.
+
+The reference is batch-only; its incremental story is idempotent
+per-shard reruns (SURVEY.md §2.9). The Spark engine adds the real
+thing:
+
+* `run_pipeline_incremental` — `readStream` over a pages directory +
+  the SAME stateless pipeline DAG (plans/pipeline.py) + `writeStream`
+  parquet with `Trigger.AvailableNow` and a checkpoint: each
+  invocation processes exactly the files that arrived since the last
+  checkpoint commit — exactly-once incremental filtering of a growing
+  crawl, no manifest bookkeeping needed (the checkpoint's file log IS
+  the manifest).
+* `hourly_event_counts` — watermarked event-time windowed aggregation
+  over an events stream (late data beyond 1 hour dropped), the
+  canonical streaming agg.
+
+Both run on AvailableNow so batch tests and cron-style incremental
+jobs share one code path; a `processingTime` trigger turns the same
+plan into a live stream untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import pipeline as pl
+
+
+def _events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    schema = spark.read.parquet(events_dir).schema  # schema from footer
+    # fixture ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP (LTZ) —
+    # the session TZ is pinned to UTC so the cast is value-preserving
+    return (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def hourly_event_counts(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint: str,
+    query_name: str = "hourly_counts",
+) -> DataFrame:
+    """Watermarked hourly windowed counts, materialized to a memory
+    sink via AvailableNow; returns the result as a batch DataFrame."""
+    ev = _events_stream(spark, events_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"), "event_type", "n_events", "sum_value"
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def run_pipeline_incremental(
+    spark: SparkSession, pages_dir: str, out_dir: str, checkpoint: str
+) -> int:
+    """One AvailableNow increment of the full langid→quality→scrub DAG
+    over whatever pages parquet files are new since the checkpoint.
+    Returns the number of rows appended this increment."""
+    schema = spark.read.parquet(pages_dir).schema
+    stream = spark.readStream.schema(schema).parquet(pages_dir)
+    result = pl.pipeline_df(stream).select(
+        "url", "warc_ts", "doc_id", "lang_pred", "lang_conf", "ppl",
+        "keep", "drop_reason", "scrubbed_text",
+    )
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.lastProgress
+    return int(progress["numInputRows"]) if progress else 0
+
+
+def incremental_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(out_dir)

@@ -1,0 +1,92 @@
+"""Custom stateful streaming operator: gap-based sessionization.
+
+`applyInPandasWithState` keeps one open session per user across
+micro-batches; a session closes when a later event arrives more than
+GAP seconds after the last one (emitting the closed session), or when
+event-time timeout fires past the watermark. This is the engine's
+demonstration of arbitrary stateful streaming — the batch equivalent
+(lag + cumsum window) is the `sessionize` gate query, which doubles
+as its oracle in tests/test_streaming.py.
+
+State is a single (start, last, n) tuple per user — O(users) not
+O(events) — so the operator survives 10^12-event streams; the shuffle
+key is user_id (the same partitioning the batch window uses).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_S = 1800
+
+OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events int"
+)
+STATE_SCHEMA = "start_us bigint, last_us bigint, n int"
+
+_US = 1_000_000
+
+
+def _session_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    closed: list[tuple] = []
+
+    if state.hasTimedOut:
+        if state.exists:
+            start_us, last_us, n = state.get
+            closed.append((user_id, start_us, last_us, n))
+        state.remove()
+    else:
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(
+                int(v.value // 1000) for v in pd.to_datetime(pdf["ts"])
+            )
+        ts_us.sort()
+        if state.exists:
+            cur = list(state.get)
+        else:
+            cur = None
+        for t in ts_us:
+            if cur is None:
+                cur = [t, t, 0]
+            elif t - cur[1] > SESSION_GAP_S * _US:
+                closed.append((user_id, cur[0], cur[1], cur[2]))
+                cur = [t, t, 0]
+            cur[1] = max(cur[1], t)
+            cur[2] += 1
+        if cur is not None:
+            state.update(tuple(cur))
+            # close the trailing session when the watermark passes its gap
+            state.setTimeoutTimestamp(cur[1] // 1000 + SESSION_GAP_S * 1000)
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [c[0] for c in closed],
+                "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                "n_events": [c[3] for c in closed],
+            }
+        )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """events(ts timestamp, user_id, ...) stream → closed sessions."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            OUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,101 @@
+"""spark-submit entry point for the langid→quality→scrub pipeline.
+
+Ship it exactly as the north rule prescribes::
+
+    python tools/build_pyfiles.py       # → dist/fineweb_modal_spark.zip
+    spark-submit --master <cluster> \
+        --py-files dist/fineweb_modal_spark.zip \
+        jobs/run_pipeline.py \
+        --input  /data/sf0.001 \
+        --output /out/scored \
+        [--mode batch|resume|incremental] \
+        [--granularity day|minute] \
+        [--checkpoint /out/ckpt]
+
+Modes
+-----
+batch        one straight-through run, partitioned committed writes.
+resume       partition-by-partition with manifest checkpointing —
+             re-invoking after a failure completes only the missing
+             partitions (sinks.resume_run).
+incremental  Structured Streaming AvailableNow over a growing pages
+             directory (streaming/incremental.py); --input must then
+             be a directory of pages parquet (url/warc_ts/text/lang).
+
+Prints one JSON metrics line to stdout (docs, keep rate, wall
+seconds) — the cluster-side analog of bench.py's contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="sf dir (batch/resume) or pages parquet dir (incremental)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--mode", default="batch", choices=["batch", "resume", "incremental"])
+    ap.add_argument("--granularity", default="day", choices=["day", "minute"])
+    ap.add_argument("--checkpoint", default=None)
+    args = ap.parse_args(argv)
+
+    # Import AFTER spark-submit has placed the --py-files zip on the path.
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from fineweb_modal_spark import sinks
+    from fineweb_modal_spark.plans import pipeline as pl
+
+    spark = SparkSession.builder.appName("fineweb-modal-spark-pipeline").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    t0 = time.monotonic()
+    if args.mode == "incremental":
+        from fineweb_modal_spark.streaming import incremental
+
+        ckpt = args.checkpoint or (args.output.rstrip("/") + "_ckpt")
+        n = incremental.run_pipeline_incremental(spark, args.input, args.output, ckpt)
+        out = {"mode": "incremental", "rows_this_increment": n}
+    else:
+        def build(s):
+            return sinks.with_partition_cols(
+                pl.run_pipeline(s, args.input), granularity=args.granularity
+            ).select(
+                "url", "ds", "salt", "doc_id", "lang_pred", "keep",
+                "drop_reason", "scrubbed_text",
+            )
+
+        if args.mode == "resume":
+            rows = sinks.resume_run(spark, build, args.output)
+            out = {
+                "mode": "resume",
+                "partitions_committed": len(rows),
+                "rows": sum(r["n_rows"] for r in rows),
+                "keep": sum(r["n_keep"] for r in rows),
+            }
+        else:
+            df = build(spark)
+            parts = sinks.list_partitions(df)
+            rows = [
+                sinks.write_partition(
+                    spark, df.where(F.col("ds") == F.lit(ds)), args.output, ds
+                )
+                for ds in parts
+            ]
+            out = {
+                "mode": "batch",
+                "partitions_committed": len(rows),
+                "rows": sum(r["n_rows"] for r in rows),
+                "keep": sum(r["n_keep"] for r in rows),
+            }
+    out["wall_s"] = round(time.monotonic() - t0, 3)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

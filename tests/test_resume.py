@@ -1,0 +1,92 @@
+"""Kill-and-resume contract of the committed write layer (north rule).
+
+Run the full pipeline partition-by-partition, inject a failure after
+two commits, then resume: the second run must (a) complete, (b) NOT
+rewrite the already-committed partitions, (c) produce exactly the
+rows a straight-through run produces, and (d) leave one manifest
+metrics row per partition.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fineweb_modal_spark import sinks
+from fineweb_modal_spark.plans import pipeline as pl
+
+SF = "/root/testdata/sf0.001"
+
+
+def _build(spark):
+    df = pl.run_pipeline(spark, SF)
+    return sinks.with_partition_cols(df, granularity="minute").select(
+        "url", "ds", "salt", "doc_id", "keep", "drop_reason", "scrubbed_text"
+    )
+
+
+def test_kill_and_resume(spark, tmp_path):
+    out = str(tmp_path / "out")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        sinks.resume_run(spark, _build, out, fail_after=2)
+
+    committed_first = sinks.committed_partitions(spark, out)
+    assert len(committed_first) == 2
+
+    # record commit fingerprints (file mtimes) of the first two dirs
+    def part_mtime(ds: str) -> float:
+        d = os.path.join(out, f"ds={ds}")
+        return max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d))
+
+    mtimes = {ds: part_mtime(ds) for ds in committed_first}
+
+    rows = sinks.resume_run(spark, _build, out)
+    assert {r["ds"] for r in rows}.isdisjoint(committed_first)
+
+    # previously committed partitions untouched by the resume
+    for ds, mt in mtimes.items():
+        assert part_mtime(ds) == mt
+
+    # output complete and exactly equal to a straight-through plan
+    got = sinks.read_output(spark, out)
+    want = _build(spark)
+    assert got.count() == want.count()
+    assert (
+        got.select("url", "keep", "scrubbed_text")
+        .exceptAll(want.select("url", "keep", "scrubbed_text"))
+        .count()
+        == 0
+    )
+
+    # one manifest metrics row per partition, counts consistent
+    man = sinks.read_manifest(spark, out).collect()
+    assert len(man) == len(sinks.committed_partitions(spark, out))
+    per_ds = {
+        r.ds: r.n
+        for r in got.groupBy("ds").agg(F.count("*").alias("n")).collect()
+    }
+    for r in man:
+        assert r.n_rows == per_ds[r.ds]
+        assert 0 <= r.n_keep <= r.n_rows
+
+
+def test_rerun_is_noop(spark, tmp_path):
+    out = str(tmp_path / "out2")
+    first = sinks.resume_run(spark, _build, out)
+    assert first
+    second = sinks.resume_run(spark, _build, out)
+    assert second == []
+
+
+def test_salt_spreads_hot_host(spark):
+    """~1/3 of urls share host h0; the salt must spread them across
+    (nearly) all write buckets."""
+    df = sinks.with_partition_cols(
+        pl.run_pipeline(spark, SF), granularity="day"
+    )
+    hot = df.where(F.col("url").like("https://h0.%"))
+    n_buckets = hot.select("salt").distinct().count()
+    assert n_buckets >= sinks.N_SALTS - 2

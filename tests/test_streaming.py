@@ -1,0 +1,133 @@
+"""Structured Streaming tests: incremental pipeline (exactly-once via
+checkpoint), watermarked windowed agg, stateful sessionization.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from fineweb_modal_spark.plans import pipeline as pl
+from fineweb_modal_spark.sources import pages as pages_mod
+from fineweb_modal_spark.streaming import incremental, sessionize
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_incremental_pipeline_exactly_once(spark, tmp_path):
+    """Two increments over a growing pages dir: the second run must
+    process ONLY the newly arrived file, and the union must equal the
+    batch pipeline's result."""
+    pages_dir = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    full = pages_mod.load_pages(spark, SF, with_html=False)
+    full.where("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(pages_dir)
+
+    n1 = incremental.run_pipeline_incremental(spark, pages_dir, out, ckpt)
+    assert n1 == full.where("doc_id % 2 = 0").count()
+
+    full.where("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(pages_dir)
+    n2 = incremental.run_pipeline_incremental(spark, pages_dir, out, ckpt)
+    assert n2 == full.where("doc_id % 2 = 1").count()
+
+    got = incremental.incremental_output(spark, out)
+    assert got.count() == full.count()
+    assert got.select("doc_id").distinct().count() == full.count()
+
+    # a third run with nothing new appends nothing
+    n3 = incremental.run_pipeline_incremental(spark, pages_dir, out, ckpt)
+    assert n3 == 0
+
+    # streamed results equal the batch plan row-for-row
+    want = pl.run_pipeline(spark, SF).select("url", "keep", "scrubbed_text")
+    assert got.select("url", "keep", "scrubbed_text").exceptAll(want).count() == 0
+
+
+def test_hourly_event_counts_matches_batch(spark, tmp_path):
+    from fineweb_modal_spark.sources.tables import table_path
+
+    # file-stream sources need a directory, not a bare parquet file
+    events_dir = str(tmp_path / "events")
+    spark.read.parquet(table_path(SF, "events")).write.parquet(events_dir)
+    got = incremental.hourly_event_counts(
+        spark, events_dir, str(tmp_path / "ck"), query_name="t_hourly"
+    )
+    want = (
+        spark.read.parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_stateful_sessionize_matches_batch_closed_sessions(spark, tmp_path):
+    """Streamed closed sessions == batch sessions minus each user's
+    trailing session (which stays open in state when the single
+    AvailableNow batch ends)."""
+    from fineweb_modal_spark.sources.tables import load_table, table_path
+
+    events_dir = str(tmp_path / "events")
+    spark.read.parquet(table_path(SF, "events")).write.parquet(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        sessionize.sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.table("t_sessions").collect()
+    }
+
+    ev = load_table(spark, SF, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("is_new").over(cum))
+    batch = (
+        g.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+        .collect()
+    )
+    last_per_user: dict = {}
+    for r in batch:
+        cur = last_per_user.get(r.user_id)
+        if cur is None or r.session_start > cur.session_start:
+            last_per_user[r.user_id] = r
+    want_all = {(r.user_id, r.session_start, r.n_events) for r in batch}
+    want_closed = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in batch
+        if last_per_user[r.user_id].session_id != r.session_id
+    }
+    # every gap-closed session must stream out; trailing sessions MAY
+    # also emit when the final watermark passes their timeout — but
+    # nothing may emit that the batch oracle doesn't contain
+    assert want_closed <= got
+    assert got <= want_all

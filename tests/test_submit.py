@@ -1,0 +1,64 @@
+"""End-to-end spark-submit --py-files packaging test (north rule).
+
+Builds the dist zip, launches the real spark-submit binary in a
+subprocess (local[4]) in resume mode, and checks the JSON metrics
+line plus the written partitioned output + manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+
+def test_spark_submit_pipeline(tmp_path):
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from build_pyfiles import build
+
+    zip_path = build(str(tmp_path / "fineweb_modal_spark.zip"))
+    out_dir = str(tmp_path / "out")
+
+    env = dict(os.environ)
+    env.setdefault("PYSPARK_PYTHON", sys.executable)
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", zip_path,
+            os.path.join(ROOT, "jobs", "run_pipeline.py"),
+            "--input", SF,
+            "--output", out_dir,
+            "--mode", "resume",
+            "--granularity", "minute",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd=str(tmp_path),  # NOT the repo root: the zip must supply the package
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    metrics = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert metrics["mode"] == "resume"
+    assert metrics["rows"] == 500
+    assert metrics["partitions_committed"] >= 2
+    assert 0 < metrics["keep"] <= metrics["rows"]
+    assert os.path.isdir(os.path.join(out_dir, "_manifest"))
+    ds_dirs = [d for d in os.listdir(out_dir) if d.startswith("ds=")]
+    assert len(ds_dirs) == metrics["partitions_committed"]
