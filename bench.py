@@ -96,29 +96,90 @@ def bench(sf_dir: str) -> dict:
     }
 
 
-def scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
-    """Same pipeline job at two parallelism levels; efficiency =
-    (throughput_hi / throughput_lo) / (hi / lo). Sessions are torn
-    down between runs so shuffle sizing matches each core count."""
+def _fresh_session(cores: int, name: str):
     from pyspark.sql import SparkSession
 
-    from fineweb_modal_spark.plans import pipeline as pl
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    return get_spark(master=f"local[{cores}]", app_name=name)
 
-    results = {}
-    for cores in (lo, hi):
-        active = SparkSession.getActiveSession()
-        if active is not None:
-            active.stop()
-        spark = get_spark(master=f"local[{cores}]", app_name=f"scale{cores}")
-        _warmup(spark)
-        n_docs = _n_docs(spark, sf_dir)
-        t0 = time.monotonic()
-        _force(pl.run_pipeline(spark, sf_dir))
-        dt = time.monotonic() - t0
-        results[cores] = {"sec": round(dt, 3), "docs_per_sec": round(n_docs / dt, 1)}
-        spark.stop()
-    speedup = results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]
+
+def _replicated_pipeline(spark, sf_dir: str, cores: int, reps: int):
+    from pyspark.sql import functions as F
+
+    from fineweb_modal_spark.plans import pipeline as pl
+    from fineweb_modal_spark.sources import pages as pages_mod
+
+    pages = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    # repartition the small scan FIRST so the ×reps explode runs in
+    # parallel after the exchange, not in the single scan task
+    replicated = (
+        pages.repartition(cores * 4)
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+        .drop("rep")
+    )
+    return pl.pipeline_df(replicated)
+
+
+def _control_job(spark, cores: int, n: int = 20_000_000) -> None:
+    """Pure-JVM embarrassingly parallel hash burn — host calibration."""
+    spark.range(n).repartition(cores * 4).selectExpr(
+        "sum(crc32(cast(sha2(cast(id AS STRING), 256) AS BINARY))) AS s"
+    ).collect()
+
+
+def scaling(
+    sf_dir: str, lo: int = 2, hi: int = 8, reps: int = 32, rounds: int = 3
+) -> dict:
+    """Same pipeline job at two parallelism levels; efficiency =
+    (throughput_hi / throughput_lo) / (hi / lo).
+
+    Methodology notes (documented in BASELINE.md):
+    * input replicated ×reps so the job is compute-bound like the
+      10^12-doc target, not dominated by fixed per-job overhead;
+    * lo/hi interleaved over `rounds` rounds, best-per-level kept —
+      this sandbox is a SHARED VM (3-11% CPU steal, neighbor load
+      spikes observed with zero local processes), so single runs are
+      unreliable; the best value approximates a quiet host;
+    * a pure-JVM control job (sha2 hash burn) runs at both levels as
+      host calibration: engine efficiency can't exceed what the host
+      gives an embarrassingly parallel JVM job that day;
+    * 2→8 cores rather than 8→32: beyond ~10 busy cores this host
+      saturates memory bandwidth (32 threads burn ~3× the CPU-seconds
+      for identical work), so 8→32 measures the host, not the engine.
+      On a real cluster N and 4N executors each own their memory bus.
+    """
+    import os as _os
+
+    best = {lo: float("inf"), hi: float("inf")}
+    ctrl = {lo: float("inf"), hi: float("inf")}
+    load_samples = []
+    n_docs_base = None
+    for _ in range(rounds):
+        for cores in (lo, hi):
+            load_samples.append(round(_os.getloadavg()[0], 1))
+            spark = _fresh_session(cores, f"scale{cores}")
+            _warmup(spark)
+            if n_docs_base is None:
+                n_docs_base = _n_docs(spark, sf_dir)
+            df = _replicated_pipeline(spark, sf_dir, cores, reps)
+            t0 = time.monotonic()
+            _force(df)
+            best[cores] = min(best[cores], time.monotonic() - t0)
+            t0 = time.monotonic()
+            _control_job(spark, cores)
+            ctrl[cores] = min(ctrl[cores], time.monotonic() - t0)
+            spark.stop()
+    n_docs = n_docs_base * reps
+    results = {
+        c: {"sec": round(best[c], 3), "docs_per_sec": round(n_docs / best[c], 1)}
+        for c in (lo, hi)
+    }
+    speedup = best[lo] / best[hi]
     eff = speedup / (hi / lo)
+    ctrl_eff = (ctrl[lo] / ctrl[hi]) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -127,6 +188,9 @@ def scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         "hi_cores": hi,
         "runs": {str(k): v for k, v in results.items()},
         "speedup": round(speedup, 3),
+        "control_efficiency": round(ctrl_eff, 3),
+        "relative_to_control": round(eff / ctrl_eff, 3) if ctrl_eff else None,
+        "host_load_samples": load_samples,
         "sf": sf_dir,
     }
 

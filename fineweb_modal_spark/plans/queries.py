@@ -613,3 +613,44 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Embedding stage + the reference's full chunk→embed→topk DAG as ONE plan
+# ---------------------------------------------------------------------------
+
+from ..operators import embed as embed_op  # noqa: E402
+
+
+@register("embed_documents")
+def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4/U5 embed stage (embed-tei.py:205-334) as an Arrow UDF column —
+    rows-only gate; spec-parity asserted in tests/test_embed.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return embed_op.with_embedding(docs.select("doc_id", "text")).select(
+        "doc_id", "embedding"
+    )
+
+
+@register("chunk_embed_topk")
+def q_chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole pipeline (chunk → embed → two-phase topk,
+    SURVEY §3.1-3.3) as ONE Catalyst plan: three scripts, two Modal
+    fan-outs and a sidecar .npy collapse into scan → mapInPandas →
+    pandas UDF → posexplode → window."""
+    from ..operators.chunker import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.repeat(F.concat("text", F.lit(" ")), 8).alias("text")
+    )
+    chunks = chunk_documents(docs, id_col="doc_id", keep_cols=())
+    embedded = embed_op.with_embedding(
+        chunks.withColumn(
+            "vec_id", F.col("doc_id") * 1000 + F.col("chunk_index")
+        ),
+        text_col="chunk_text",
+    )
+    t = topk.topk_per_feature(embedded.select("vec_id", "embedding"), k=5)
+    return t.select(
+        "feature", "vec_id", F.round("activation", 6).alias("activation"), "rank"
+    )

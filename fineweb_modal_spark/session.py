@@ -35,6 +35,9 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # local-mode default heap is 1 GiB; string-heavy plans want more
+        # (effective only if this process hasn't launched the JVM yet)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # --- determinism & oracle comparability -------------------------
         .config("spark.sql.session.timeZone", "UTC")
         # --- adaptive execution: runtime re-plan, skew splitting ---------

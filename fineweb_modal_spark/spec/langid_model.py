@@ -1,16 +1,25 @@
-"""fastText-style language-ID: hashed n-gram linear model, hermetic.
+"""fastText-style language-ID: n-gram linear model, hermetic + vectorized.
 
 The north rule calls for fastText langid as a vectorized pandas/Arrow
 UDF stage. fastText itself is unavailable offline, so this is a
-self-contained model of the same *shape*: text → bag of hashed
-features (lowercased words + character trigrams) → linear scores per
-language → argmax + softmax confidence. Weights are derived
-deterministically from built-in per-language lexicons (no external
-data), so the model is a pure function of this file.
+self-contained model of the same *shape*: text → bag of features
+(lowercased word unigrams + character n-grams + a CJK char feature)
+→ linear scores per language → argmax + softmax confidence. Weights
+derive deterministically from built-in per-language lexicons (public
+stopword lists) — the model is a pure function of this file.
 
-Both the Spark operator (operators/langid.py, inside mapInPandas) and
-the pytest oracle call `predict_batch` / `predict_one` here — the two
-sides cannot diverge.
+Scoring is exact-match (a dict over the ~90 weighted features) rather
+than hashed-bucket: with a lexicon this small, hashing adds only
+collision noise, and the exact form admits full C-level
+vectorization — token explode + dict map for words, compiled
+overlapping-count regexes for char grams — ~50× faster per core than
+a per-feature Python loop, which matters because this UDF dominates
+pipeline wall-clock (bench.py). The feature COUNT normalizer still
+counts every fastText-shape feature (1 word + all 2/3-grams of
+'<word>' per token + 1 per CJK char), computed in closed form.
+
+Both the Spark operator (operators/scoring.py) and the pytest oracle
+call `predict_batch` here — the two sides cannot diverge.
 
 Reference analog: the per-container model-load-once + batched encode
 pattern of /root/reference/features.py:92-101,135-145.
@@ -18,16 +27,17 @@ pattern of /root/reference/features.py:92-101,135-145.
 
 from __future__ import annotations
 
-from zlib import crc32
+import re
 
 import numpy as np
+import pandas as pd
 
 LANGS = ["en", "fr", "de", "es", "zh", "und"]
-N_BUCKETS = 1 << 16  # 65536 hashed feature buckets
 _UND = LANGS.index("und")
+_ZH = LANGS.index("zh")
 
 # Distinctive high-frequency words per language (public-knowledge
-# stopword lists, truncated). Weight = 1.0 per word feature.
+# stopword lists, truncated). Weight = 3.0 per occurrence.
 LEXICONS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was",
            "for", "with", "are", "this", "not", "have", "you", "they"],
@@ -37,12 +47,12 @@ LEXICONS: dict[str, list[str]] = {
            "mit", "auf", "sich", "auch", "sind", "wird", "dem", "den"],
     "es": ["el", "los", "las", "es", "una", "por", "con", "para",
            "del", "se", "su", "al", "como", "pero", "sus", "este"],
-    # zh is recognized via the CJK character-class feature below.
+    # zh is recognized via the CJK character feature below.
     "zh": [],
 }
 
-# character trigrams distinctive per language (accented letters and
-# frequent digraph contexts), same unit weight.
+# Character n-grams distinctive per language (accents and frequent
+# digraph contexts). Weight = 1.5 per (overlapping) occurrence.
 CHAR_LEXICONS: dict[str, list[str]] = {
     "en": ["th", "ing", "ion"],
     "fr": ["é", "è", "ç", "à", "eau", "oux", "ais"],
@@ -51,89 +61,75 @@ CHAR_LEXICONS: dict[str, list[str]] = {
     "zh": [],
 }
 
-_CJK_FEATURE = "<cjk>"
+WORD_WEIGHT = np.float32(3.0)
+GRAM_WEIGHT = np.float32(1.5)
+CJK_WEIGHT = np.float32(5.0)
+
+_CJK_RE = re.compile("[一-鿿㐀-䶿]")
 
 
-def _bucket(token: str) -> int:
-    """Deterministic token → bucket (crc32: stable across processes,
-    C-speed, no PYTHONHASHSEED dependence)."""
-    return crc32(token.encode("utf-8")) % N_BUCKETS
-
-
-def _char_ngrams(word: str, n_lo: int = 2, n_hi: int = 3) -> list[str]:
-    w = f"<{word}>"
-    out = []
-    for n in range(n_lo, n_hi + 1):
-        out.extend(w[i : i + n] for i in range(len(w) - n + 1))
-    return out
-
-
-def build_weights() -> np.ndarray:
-    """(N_BUCKETS, n_langs) float32 weight matrix from the lexicons.
-
-    Word features carry the bulk of the signal (weight 3.0); character
-    n-grams are weighted ONLY for the accent/digraph lexicon (1.5) —
-    deriving char weights from lexicon words spills onto unrelated
-    English words ('order' contains 'der') and measurably hurts
-    accuracy, so word-derived char n-grams get zero weight. The char
-    features still exist in `features_of` (fastText shape) so a richer
-    weight table can use them without changing the extractor.
-    """
-    W = np.zeros((N_BUCKETS, len(LANGS)), dtype=np.float32)
+def build_weights():
+    """Model = (word→weight-vector dict, [(compiled overlap-count
+    regex, lang index, weight)]). Pure function of this file; cheap
+    enough to rebuild once per task (the reference's @enter pattern)."""
+    word_w: dict[str, np.ndarray] = {}
     for li, lang in enumerate(LANGS[:-1]):
-        for word in LEXICONS[lang]:
-            W[_bucket("w:" + word), li] += 3.0
-        for g in CHAR_LEXICONS[lang]:
-            W[_bucket("c:" + g), li] += 1.5
-    W[_bucket(_CJK_FEATURE), LANGS.index("zh")] += 5.0
-    return W
+        for w in LEXICONS[lang]:
+            vec = word_w.setdefault(w, np.zeros(len(LANGS), dtype=np.float32))
+            vec[li] += WORD_WEIGHT
+    gram_w = [
+        (re.compile("(?=" + re.escape(g) + ")"), li, GRAM_WEIGHT)
+        for li, lang in enumerate(LANGS[:-1])
+        for g in CHAR_LEXICONS[lang]
+    ]
+    return word_w, gram_w
 
 
-def _is_cjk(ch: str) -> bool:
-    o = ord(ch)
-    return 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF
+def predict_batch(texts: list[str], model=None) -> tuple[list[str], np.ndarray]:
+    """Vectorized batch scoring → (lang_pred list, confidence float32).
 
-
-def features_of(text: str) -> list[int]:
-    """Hashed feature buckets of one document (words + char n-grams)."""
-    feats: list[int] = []
-    cjk = 0
-    for word in text.lower().split():
-        feats.append(_bucket("w:" + word))
-        for g in _char_ngrams(word):
-            feats.append(_bucket("c:" + g))
-        cjk += sum(1 for ch in word if _is_cjk(ch))
-    # one CJK feature per CJK char: frequency matters for short texts
-    feats.extend([_bucket(_CJK_FEATURE)] * cjk)
-    return feats
-
-
-def predict_batch(texts: list[str], W: np.ndarray | None = None) -> tuple[list[str], np.ndarray]:
-    """Vectorized scoring of a batch → (lang_pred list, confidence f32).
-
-    Scores are L1-normalized by feature count; argmax with an
-    'und' floor: fewer than 3 features or a zero best score → 'und'.
-    Confidence = softmax over language scores (float32 discipline per
-    SURVEY.md §7.4 risk 2).
+    Scores L1-normalized by the fastText-shape feature count
+    (per token: 1 word + (L+1) 2-grams + L 3-grams of '<word>';
+    plus 1 per CJK char); argmax with an 'und' floor (fewer than 3
+    features, or best score ≤ 0). Confidence = float32 softmax.
     """
-    if W is None:
-        W = _WEIGHTS
+    if model is None:
+        model = _MODEL
+    word_w, gram_w = model
     n = len(texts)
-    preds = ["und"] * n
-    confs = np.zeros(n, dtype=np.float32)
-    for i, text in enumerate(texts):
-        feats = features_of(text if text is not None else "")
-        if len(feats) < 3:
-            confs[i] = np.float32(1.0)
-            continue
-        scores = W[np.asarray(feats, dtype=np.int64)].sum(axis=0)
-        scores = scores / np.float32(len(feats))
-        best = int(scores.argmax())
-        if scores[best] <= 0.0:
-            best = _UND
-        e = np.exp(scores - scores.max(), dtype=np.float32)
-        confs[i] = np.float32(e[best] / e.sum())
-        preds[i] = LANGS[best]
+    s = pd.Series(texts, dtype="object").fillna("")
+    toks = s.str.lower().str.split()
+    n_words = toks.str.len().to_numpy(np.int64)
+    joined = toks.str.join(" ")
+    lens = joined.str.len().to_numpy(np.int64)
+    tok_chars = lens - np.maximum(n_words - 1, 0)
+    cjk = joined.str.count(_CJK_RE).to_numpy(np.int64)
+    # per token 2L+2 features (1 word, L+1 bigrams, L trigrams of '<w>')
+    n_feats = 2 * tok_chars + 2 * n_words + cjk
+
+    scores = np.zeros((n, len(LANGS)), dtype=np.float32)
+    ex = toks.explode()
+    hit = ex.map(word_w)
+    hit = hit[hit.notna()]
+    if len(hit):
+        rows = hit.index.to_numpy(np.int64)
+        np.add.at(scores, rows, np.stack(hit.to_numpy()))
+    for creg, li, w in gram_w:
+        cnt = joined.str.count(creg).to_numpy()
+        if cnt.any():
+            scores[:, li] += w * cnt.astype(np.float32)
+    scores[:, _ZH] += CJK_WEIGHT * cjk.astype(np.float32)
+
+    sc = scores / np.maximum(n_feats, 1).astype(np.float32)[:, None]
+    best = sc.argmax(axis=1)
+    idx = np.arange(n)
+    best = np.where(sc[idx, best] <= 0.0, _UND, best)
+    e = np.exp(sc - sc.max(axis=1, keepdims=True), dtype=np.float32)
+    conf = (e[idx, best] / e.sum(axis=1)).astype(np.float32)
+
+    valid = n_feats >= 3
+    preds = [LANGS[b] if v else "und" for b, v in zip(best, valid)]
+    confs = np.where(valid, conf, np.float32(1.0)).astype(np.float32)
     return preds, confs
 
 
@@ -142,4 +138,4 @@ def predict_one(text: str) -> tuple[str, float]:
     return p[0], float(c[0])
 
 
-_WEIGHTS = build_weights()
+_MODEL = build_weights()

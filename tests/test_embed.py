@@ -1,0 +1,52 @@
+"""Embed-stage tests: spec parity (independent-oracle pattern of
+validate.ipynb cells 41-50), unit norms, determinism, and the
+one-plan chunk→embed→topk composite."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fineweb_modal_spark.operators import embed as embed_op
+from fineweb_modal_spark.spec import embed_model
+from fineweb_modal_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_embed_matches_python_spec(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(50)
+    rows = embed_op.with_embedding(docs).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for r in rows:
+        want = embed_model.embed_one(texts[r.doc_id])
+        got = np.asarray(r.embedding, dtype=np.float32)
+        assert got.shape == (embed_model.DIM,)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_embed_unit_norm_and_similarity_sanity(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(100)
+    rows = embed_op.with_embedding(docs).collect()
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float32)
+        assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)
+    # a text is most similar to itself among others
+    v0 = np.asarray(rows[0].embedding)
+    sims = [float(np.dot(v0, np.asarray(r.embedding))) for r in rows]
+    assert max(sims) == pytest.approx(sims[0], abs=1e-6)
+
+
+def test_chunk_embed_topk_shape(spark):
+    from fineweb_modal_spark.plans import queries as Q
+
+    t = Q.queries()["chunk_embed_topk"](spark, SF)
+    rows = t.collect()
+    assert rows
+    by_f = {}
+    for r in rows:
+        by_f.setdefault(r.feature, []).append(r)
+    for f, rs in by_f.items():
+        assert len(rs) <= 5
+        acts = [r.activation for r in sorted(rs, key=lambda r: r.rank)]
+        assert acts == sorted(acts, reverse=True)
