@@ -228,3 +228,116 @@ pairs AS (
 SELECT vec_a, vec_b, round(cosine, 6) AS cosine
 FROM pairs WHERE cosine >= {COS_THRESHOLD}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse-quantize to centroids, probe nearest
+# cells only — the index-backed scale path (reference S11, the LanceDB
+# IVF-PQ build at lancer.py:203-216, re-expressed as pure Catalyst).
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def _centroids(emb: DataFrame, n: int = N_CENTROIDS) -> DataFrame:
+    """Deterministic coarse centroids: the n lowest-id vectors.
+    (Production would k-means; determinism matters more here and the
+    assignment/probe/search plumbing is identical.)"""
+    w = Window.orderBy(F.asc("vec_id"))
+    return (
+        emb.orderBy("vec_id")
+        .limit(n)
+        .withColumn("centroid_id", F.row_number().over(w) - 1)
+        .select("centroid_id", F.col("embedding").alias("cvec"))
+    )
+
+
+def ivf_topk(emb: DataFrame, k: int = 3, n_probe: int = N_PROBE) -> DataFrame:
+    """Top-k cosine neighbors via IVF: assign every vector to its
+    max-cosine centroid (broadcast join — centroid table is tiny),
+    then for each query probe only the n_probe nearest cells.
+
+    vs brute force: the candidate join keys on cell id, so the
+    pairwise stage scans ~n_probe/N_CENTROIDS of the corpus per query
+    instead of all of it — the shuffle is (query × probed-cell), never
+    O(n²). Recall < 1 by design; tests measure it against cosine_topk.
+    """
+    cents = _centroids(emb)
+    cos_c = F.expr(_dot("embedding", "cvec", S)) / (
+        F.expr(_norm("embedding", S)) * F.expr(_norm("cvec", S))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "centroid_id", cos_c.alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+    assign = ranked.where(F.col("crank") == 1).select(
+        "vec_id", "embedding", F.col("centroid_id").alias("cell")
+    )
+    probes = ranked.where(F.col("crank") <= n_probe).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("centroid_id").alias("cell"),
+    )
+    cand = probes.join(assign, "cell").where(
+        F.col("query_id") != F.col("vec_id")
+    )
+    cos = F.expr(_dot("qvec", "embedding", S)) / (
+        F.expr(_norm("qvec", S)) * F.expr(_norm("embedding", S))
+    )
+    pairs = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(wq))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+        )
+    )
+
+
+def ivf_topk_oracle_sql(
+    d: str, k: int = 3, n_probe: int = N_PROBE, table: str = "embeddings"
+) -> str:
+    dotc = _dot("e.embedding", "c.cvec", d)
+    ne = _norm("e.embedding", d)
+    nc = _norm("c.cvec", d)
+    dotq = _dot("p.qvec", "a.embedding", d)
+    nq = _norm("p.qvec", d)
+    na = _norm("a.embedding", d)
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS centroid_id,
+         embedding AS cvec
+  FROM (SELECT * FROM {table} ORDER BY vec_id ASC LIMIT {N_CENTROIDS})
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         ({dotc}) / (({ne}) * ({nc})) AS ccos
+  FROM {table} e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) AS crank
+  FROM scored
+),
+assign AS (SELECT vec_id, embedding, centroid_id AS cell FROM ranked WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, embedding AS qvec, centroid_id AS cell
+           FROM ranked WHERE crank <= {n_probe}),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ({dotq}) / (({nq}) * ({na})) AS cosine
+  FROM probes p JOIN assign a ON p.cell = a.cell AND p.query_id <> a.vec_id
+),
+rankedq AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM rankedq WHERE rank <= {k}
+""".strip()

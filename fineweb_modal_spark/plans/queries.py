@@ -654,3 +654,66 @@ def q_chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "feature", "vec_id", F.round("activation", 6).alias("activation"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN, salted skew join, rollup grouping sets
+# ---------------------------------------------------------------------------
+
+from ..operators import skewjoin  # noqa: E402
+
+
+@register("ivf_topk", similarity.ivf_topk_oracle_sql(D))
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: centroid assign (broadcast) + probe nearest
+    cells — the index-backed scale path next to brute-force
+    cosine_topk (reference S11, lancer.py:203-216)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, k=3)
+
+
+_HOST_DIM_SQL = (
+    "SELECT DISTINCT CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 13 END AS host_id, "
+    "'host-' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 13 END AS {T}) AS host_label "
+    "FROM documents"
+)
+
+_SALTED_JOIN_ORACLE = f"""
+WITH pages AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 13 END AS host_id FROM documents),
+dim AS ({_HOST_DIM_SQL.replace('{T}', 'VARCHAR')})
+SELECT p.doc_id, p.host_id, d.host_label
+FROM pages p JOIN dim d ON p.host_id = d.host_id
+"""
+
+
+@register("salted_skew_join", _SALTED_JOIN_ORACLE)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salting of a skewed join key (~1/3 of docs on host 0,
+    the fixture's deliberate hot host): result must equal the plain
+    join byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 13 END AS host_id",
+    )
+    docs.createOrReplaceTempView("documents")
+    dim = spark.sql(_HOST_DIM_SQL.replace("{T}", "STRING"))
+    return skewjoin.salted_join(
+        pages, dim, key="host_id", unique_col="doc_id", n_salts=8
+    ).select("doc_id", "host_id", "host_label")
+
+
+_ROLLUP_ORACLE = """
+SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents GROUP BY ROLLUP (source, lang)
+"""
+
+
+@register("summary_rollup", _ROLLUP_ORACLE)
+def q_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2's two-level manual rollup (summary.py:69-84) as ONE pass:
+    GROUPING SETS ((source,lang),(source),()) via df.rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.rollup("source", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )

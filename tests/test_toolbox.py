@@ -131,3 +131,51 @@ def test_multimodal_decode_matches_pure_python(spark):
         assert r.width == 100 + blen % 100
         assert r.height == 100 + blen % 77
         assert r.checksum == (blen * 2654435761) % 1_000_000_007
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """Random 64-dim vectors are near-orthogonal, so probing 4 of 16
+    cells recovers a bounded share of true top-3 (well above the 0.25
+    random-probe floor); planted true duplicates — the case IVF dedup
+    exists for — must be found exactly."""
+    emb = load_table(spark, SF, "embeddings")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, k=3).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, k=3).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.35, recall
+
+    emb.createOrReplaceTempView("embeddings")
+    corpus = spark.sql(similarity.corpus_with_dup_vectors_sql(sd.SPARK))
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in similarity.ivf_topk(corpus, k=1).collect()
+    }
+    planted = [q for q in top1 if q >= 100000]
+    assert planted
+    # a scaled copy has identical cosine profile → same cell, found
+    assert all(top1[q] == q - 100000 for q in planted)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from fineweb_modal_spark.operators import skewjoin
+
+    docs = load_table(spark, SF, "documents")
+    pages = docs.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 13 END AS host_id",
+    )
+    dim = pages.select("host_id").distinct().selectExpr(
+        "host_id", "'host-' || CAST(host_id AS STRING) AS host_label"
+    )
+    plain = pages.join(dim, "host_id").select("doc_id", "host_id", "host_label")
+    salted = skewjoin.salted_join(
+        pages, dim, key="host_id", unique_col="doc_id", n_salts=8
+    ).select("doc_id", "host_id", "host_label")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
