@@ -123,7 +123,7 @@ def _replicated_pipeline(spark, sf_dir: str, cores: int, reps: int):
     return pl.pipeline_df(replicated)
 
 
-def _control_job(spark, cores: int, n: int = 20_000_000) -> None:
+def _control_job(spark, cores: int, n: int = 8_000_000) -> None:
     """Pure-JVM embarrassingly parallel hash burn — host calibration."""
     spark.range(n).repartition(cores * 4).selectExpr(
         "sum(crc32(cast(sha2(cast(id AS STRING), 256) AS BINARY))) AS s"

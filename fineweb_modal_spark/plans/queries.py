@@ -836,3 +836,102 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics breadth: inverted index (S10 analog), quantiles, moving
+# averages, distinct counts
+# ---------------------------------------------------------------------------
+
+_POSTINGS_ORACLE = """
+SELECT tok, count(DISTINCT doc_id) AS df,
+       list_sort(list(DISTINCT doc_id)) AS postings
+FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0)
+GROUP BY tok HAVING count(DISTINCT doc_id) >= 50
+"""
+
+
+@register("fts_postings", _POSTINGS_ORACLE)
+def q_fts_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 (lancer.py:197-201 FTS index) as a relational inverted
+    index: explode tokens → posting lists; HAVING keeps common terms
+    so the result is compact at any scale."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        )
+        .where(F.col("df") >= 50)
+    )
+
+
+_QUANTILES_ORACLE = """
+SELECT source,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY source
+"""
+
+
+@register("length_quantiles", _QUANTILES_ORACLE)
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (Spark `percentile` == DuckDB
+    quantile_cont, linear interpolation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99"),
+    )
+
+
+_MOVAVG_ORACLE = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+FROM events
+"""
+
+
+@register("events_moving_avg", _MOVAVG_ORACLE)
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame window agg (10-event moving average per user)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mov_avg")
+    )
+
+
+_DISTINCT_DAILY_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT event_type) AS n_types,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+@register("distinct_users_daily", _DISTINCT_DAILY_ORACLE)
+def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi distinct-aggregation (expand + two-phase agg in Spark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count("*").alias("n_events"),
+    )
