@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis) over the spec layer.
+
+These run WITHOUT Spark — the spec modules are the single source of
+truth shared by the Spark operators and the oracles, so properties
+proven here transfer to the engine (the differential tests in
+test_spec_oracles.py prove the transfer itself).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fineweb_modal_spark.spec import embed_model, langid_model, scrub_spec
+from fineweb_modal_spark.spec import quality_rules as qr
+from fineweb_modal_spark.spec import tokenizer as tok
+
+# text strategy: printable-ish unicode incl. whitespace runs, accents, CJK
+_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "Zs"), include_characters=" \t\n一的是é"
+    ),
+    max_size=400,
+)
+
+
+@given(_text)
+@settings(max_examples=200, deadline=None)
+def test_chunker_covers_every_token_exactly_in_order(text):
+    """Windows cover [0, n) in order; interiors advance by STRIDE;
+    every token index appears in ≥1 window; no window exceeds MAX."""
+    n = len(tok.tokenize(text))
+    spans = tok.chunk_tokens(n)
+    assert spans[0][0] == 0
+    covered = set()
+    for s, e in spans:
+        assert 0 <= s < e or (s == 0 and e == n)  # only the n==0 passthrough is empty
+        assert e - s <= tok.MAX_TOKENS
+        covered.update(range(s, e))
+    if n > 0:
+        # tail-drop bug can leave < OVERLAP tokens uncovered (documented)
+        uncovered = set(range(n)) - covered
+        assert len(uncovered) < tok.OVERLAP
+        assert all(i >= max(e for _, e in spans) for i in uncovered)
+
+
+@given(_text)
+@settings(max_examples=200, deadline=None)
+def test_chunk_text_roundtrip_tokens(text):
+    chunks = tok.chunk_text(text)
+    toks = tok.tokenize(text)
+    if len(toks) <= tok.MAX_TOKENS:
+        assert len(chunks) == 1
+        assert chunks[0]["chunk_text"] == (text if text is not None else "")
+    else:
+        spans = tok.chunk_tokens(len(toks))
+        assert len(chunks) == len(spans)
+        for ch, (s, e) in zip(chunks, spans):
+            assert ch["chunk_tokens"] == toks[s:e]
+            assert ch["chunk_token_count"] == e - s
+            assert ch["chunk_text"] == " ".join(ch["chunk_tokens"])
+
+
+@given(_text)
+@settings(max_examples=300, deadline=None)
+def test_scrub_idempotent_and_pii_free(text):
+    once = scrub_spec.scrub_py(text)
+    assert scrub_spec.scrub_py(once) == once  # idempotent
+    # no email survives
+    import re
+
+    assert not re.search(scrub_spec.RULES[0][1], once)
+    for t in scrub_spec.TOXIC_TERMS:
+        assert not re.search(rf"(?i)\b{t}\b", once)
+
+
+@given(_text)
+@settings(max_examples=200, deadline=None)
+def test_langid_deterministic_and_valid(text):
+    p1, c1 = langid_model.predict_one(text)
+    p2, c2 = langid_model.predict_one(text)
+    assert p1 == p2 and c1 == c2
+    assert p1 in langid_model.LANGS
+    assert 0.0 <= c1 <= 1.0
+
+
+@given(st.lists(_text, min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_langid_batch_equals_singles(texts):
+    preds, confs = langid_model.predict_batch(texts)
+    for i, t in enumerate(texts):
+        p, c = langid_model.predict_one(t)
+        assert preds[i] == p
+        assert abs(float(confs[i]) - c) < 1e-6
+
+
+@given(_text)
+@settings(max_examples=200, deadline=None)
+def test_quality_signal_ranges(text):
+    s = qr.signals_py(text)
+    assert s["n_words"] >= 0
+    for k in ("stopword_ratio", "digit_ratio", "distinct_ratio"):
+        assert 0.0 <= s[k] <= 1.0
+    if s["n_words"] > 0:
+        assert s["mean_word_len"] > 0
+    keep, reason = qr.keep_py(text)
+    assert keep == (reason is None)
+
+
+@given(_text)
+@settings(max_examples=100, deadline=None)
+def test_embed_unit_norm_or_zero(text):
+    import numpy as np
+
+    v = embed_model.embed_one(text)
+    n = float(np.linalg.norm(v))
+    assert abs(n - 1.0) < 1e-5 or n == 0.0
+
+
+@given(_text, _text)
+@settings(max_examples=100, deadline=None)
+def test_perplexity_positive_finite(a, b):
+    import math
+
+    lp = qr.build_bigram_logprobs()
+    for v in qr.perplexity_batch([a, b], lp):
+        assert math.isfinite(v) and v > 0
