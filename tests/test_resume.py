@@ -90,3 +90,21 @@ def test_salt_spreads_hot_host(spark):
     hot = df.where(F.col("url").like("https://h0.%"))
     n_buckets = hot.select("salt").distinct().count()
     assert n_buckets >= sinks.N_SALTS - 2
+
+
+def test_partition_pruning_on_output(spark, tmp_path):
+    """Reading one ds partition of the committed output must prune at
+    the source (PartitionFilters in the scan), not post-filter — the
+    property that makes per-day queries O(day) not O(corpus)."""
+    out = str(tmp_path / "out3")
+    sinks.resume_run(spark, _build, out)
+    some_ds = sorted(sinks.committed_partitions(spark, out))[0]
+    q = sinks.read_output(spark, out).where(F.col("ds") == some_ds)
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ds" in m.group(1)
+    assert q.count() > 0
