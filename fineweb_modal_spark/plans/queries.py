@@ -935,3 +935,61 @@ def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Operational reports: keep-rate by host (skewed key), anti-join
+# data-quality check (semi/anti join family, absent from the reference
+# but required of a complete engine — SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+_KEEP_BY_HOST_ORACLE = f"""
+WITH pages AS ({pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)}),
+k AS ({quality.keep_sql(sd.DUCKDB, table="pages", text_col="text", key_cols="doc_id, url")})
+SELECT regexp_extract(k.url, 'https://([^./]+)', 1) AS host,
+       count(*) AS n_docs,
+       sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS n_keep,
+       round(CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate
+FROM k GROUP BY 1
+"""
+
+
+@register("keep_rate_by_host", _KEEP_BY_HOST_ORACLE)
+def q_keep_rate_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host keep/drop report over the skewed host distribution
+    (h0 holds ~1/3 of the corpus) — the operational rollup a crawl
+    operator reads daily."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    k = quality.with_keep(quality.with_signals(p))
+    return (
+        k.withColumn("host", F.regexp_extract("url", r"https://([^./]+)", 1))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).alias("n_keep"),
+            F.round(
+                F.sum(F.col("keep").cast("int")).cast("double") / F.count("*"), 6
+            ).alias("keep_rate"),
+        )
+    )
+
+
+_ANTI_JOIN_ORACLE = """
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id AND e.vec_id % 7 <> 0
+)
+"""
+
+
+@register("docs_missing_embeddings", _ANTI_JOIN_ORACLE)
+def q_docs_missing_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (data-quality: which docs lack an embedding) —
+    the join family the reference never needed but a complete engine
+    must provide."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").where("vec_id % 7 <> 0")
+    return docs.join(
+        emb, docs.doc_id == emb.vec_id, "left_anti"
+    ).select("doc_id", "source")
