@@ -51,6 +51,14 @@ def strip_ws_len(col: str, d: str) -> str:
     return f"length({regexp_replace_all(col, chr(92) + 's+', '', d)})"
 
 
+def token_len_sum(toks: str, d: str) -> str:
+    """Sum of token lengths (== non-ws chars) from an existing token
+    array — avoids a second regex pass over the text."""
+    if d == SPARK:
+        return f"aggregate(transform({toks}, t -> length(t)), 0, (acc, x) -> acc + x)"
+    return f"list_sum(list_transform({toks}, t -> length(t)))"
+
+
 def n_words_sql(col: str, d: str) -> str:
     return (
         f"CASE WHEN length(trim({col})) = 0 THEN 0 "

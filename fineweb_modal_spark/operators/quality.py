@@ -40,9 +40,16 @@ def with_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_words", n_words)
         .withColumn(
             "mean_word_len",
+            # token-length sum == non-ws char count, without a second
+            # regex pass (java regex dominates this stage's CPU and
+            # thrashes shared caches at high core counts — PLANS.md)
             F.when(
                 F.col("n_words") > 0,
-                F.length(F.regexp_replace(text, r"\s+", "")).cast("double")
+                F.aggregate(
+                    F.transform(toks, lambda t: F.length(t)),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
                 / F.col("n_words"),
             ).otherwise(F.lit(0.0)),
         )
@@ -58,9 +65,12 @@ def with_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(
             "digit_ratio",
+            # translate is a char-map delete — far cheaper than regex
             F.when(
                 F.length(text) > 0,
-                F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double")
+                (
+                    F.length(text) - F.length(F.translate(text, "0123456789", ""))
+                ).cast("double")
                 / F.length(text),
             ).otherwise(F.lit(0.0)),
         )
@@ -135,8 +145,8 @@ def signals_sql(
         sd.arr_filter("__toks", f"t -> lower(t) IN ({in_list})", d), d
     )
     distinct = sd.arr_len(sd.arr_distinct("__toks", d), d)
-    no_ws = sd.strip_ws_len(text_col, d)
-    digits = f"length({sd.regexp_replace_all(text_col, '[^0-9]', '', d)})"
+    no_ws = sd.token_len_sum("__toks", d)
+    digits = f"(length({text_col}) - length(translate({text_col}, '0123456789', '')))"
     inner = f"SELECT {key_cols}, {text_col}, {toks} AS __toks, {n_words} AS n_words FROM {table}"
 
     def rnd(e: str) -> str:
