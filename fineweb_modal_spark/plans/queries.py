@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -635,20 +637,17 @@ def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("chunk_embed_topk")
 def q_chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's whole pipeline (chunk → embed → two-phase topk,
-    SURVEY §3.1-3.3) as ONE Catalyst plan: three scripts, two Modal
-    fan-outs and a sidecar .npy collapse into scan → mapInPandas →
-    pandas UDF → posexplode → window."""
-    from ..operators.chunker import chunk_documents
+    SURVEY §3.1-3.3) as ONE Catalyst plan with ONE Python stage: three
+    scripts, two Modal fan-outs and a sidecar .npy collapse into
+    scan → fused mapInPandas (operators/chunk_embed.py) → posexplode →
+    window."""
+    from ..operators.chunk_embed import chunk_and_embed
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.repeat(F.concat("text", F.lit(" ")), 8).alias("text")
     )
-    chunks = chunk_documents(docs, id_col="doc_id", keep_cols=())
-    embedded = embed_op.with_embedding(
-        chunks.withColumn(
-            "vec_id", F.col("doc_id") * 1000 + F.col("chunk_index")
-        ),
-        text_col="chunk_text",
+    embedded = chunk_and_embed(docs).withColumn(
+        "vec_id", F.col("doc_id") * 1000 + F.col("chunk_index")
     )
     t = topk.topk_per_feature(embedded.select("vec_id", "embedding"), k=5)
     return t.select(
@@ -993,3 +992,95 @@ def q_docs_missing_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         emb, docs.doc_id == emb.vec_id, "left_anti"
     ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Pivot, set operations, and a grouped-agg pandas UDAF
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT source,
+       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en,
+       sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS fr,
+       sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS de,
+       sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS es,
+       sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS zh
+FROM documents GROUP BY source
+"""
+
+
+@register("lang_pivot", _PIVOT_ORACLE)
+def q_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit values (single-pass, no extra
+    shuffle vs the CASE-sum form Catalyst lowers it to)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", ["en", "fr", "de", "es", "zh"])
+        .count()
+    )
+    # pivot yields NULL for absent cells; oracle's CASE-sum yields 0
+    return out.select(
+        "source",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["en", "fr", "de", "es", "zh"]],
+    )
+
+
+_SETOPS_ORACLE = """
+SELECT 'kept_and_embedded' AS set_name, count(*) AS n FROM (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+  INTERSECT
+  SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0
+)
+UNION ALL
+SELECT 'kept_not_embedded' AS set_name, count(*) AS n FROM (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+  EXCEPT
+  SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0
+)
+"""
+
+
+@register("doc_setops", _SETOPS_ORACLE)
+def q_doc_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (set-op family — absent from the reference,
+    SURVEY §2.7, present in a complete engine)."""
+    docs = load_table(spark, sf_dir, "documents").where("doc_id % 2 = 0").select(
+        "doc_id"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").where("vec_id % 3 = 0").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    inter = docs.intersect(emb).agg(F.count("*").alias("n")).select(
+        F.lit("kept_and_embedded").alias("set_name"), "n"
+    )
+    exc = docs.exceptAll(emb).distinct().agg(F.count("*").alias("n")).select(
+        F.lit("kept_not_embedded").alias("set_name"), "n"
+    )
+    return inter.unionByName(exc)
+
+
+_GEOMEAN_ORACLE = """
+SELECT source, round(exp(avg(ln(n_chars))), 6) AS geomean_chars
+FROM documents WHERE n_chars > 0 GROUP BY source
+"""
+
+
+@register("geomean_chars_by_source", _GEOMEAN_ORACLE)
+def q_geomean_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface: a GROUPED_AGG pandas UDF (Arrow-batched
+    per group) computing the geometric mean — the engine's answer to
+    'aggregations Spark lacks built-in'."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    # NB: with `from __future__ import annotations` the hint strings
+    # resolve via module globals — pd/np are imported at module level
+    @pandas_udf(DoubleType())
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.astype("float64")).mean()))
+
+    docs = load_table(spark, sf_dir, "documents").where("n_chars > 0")
+    return docs.groupBy("source").agg(
+        F.round(geomean("n_chars"), 6).alias("geomean_chars")
+    )

@@ -154,3 +154,14 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
         Window.partitionBy("ds").orderBy(F.desc("committed_at"))
     )
     return m.withColumn("__rn", w).where("__rn = 1").drop("__rn")
+
+
+def read_output_asof(spark: SparkSession, out_dir: str, as_of: str) -> DataFrame:
+    """Snapshot read: only partitions whose manifest commit is ≤ as_of
+    (ISO-8601 UTC string) — the parquet-manifest analog of Iceberg
+    time travel (`VERSION AS OF` / `TIMESTAMP AS OF`)."""
+    man = read_manifest(spark, out_dir).where(F.col("committed_at") <= as_of)
+    ds_list = [r.ds for r in man.select("ds").collect()]
+    if not ds_list:
+        return read_output(spark, out_dir).limit(0)
+    return read_output(spark, out_dir).where(F.col("ds").isin(ds_list))

@@ -50,3 +50,33 @@ def test_chunk_embed_topk_shape(spark):
         assert len(rs) <= 5
         acts = [r.activation for r in sorted(rs, key=lambda r: r.rank)]
         assert acts == sorted(acts, reverse=True)
+
+
+def test_fused_chunk_embed_equals_unfused(spark):
+    """operators/chunk_embed fusion must equal the two-stage form."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fineweb_modal_spark.operators import chunk_embed
+    from fineweb_modal_spark.operators.chunker import chunk_documents
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.repeat(F.concat("text", F.lit(" ")), 8).alias("text")
+    ).limit(50)
+    fused = {
+        (r.doc_id, r.chunk_index): (r.chunk_text, r.chunk_token_count, tuple(r.embedding))
+        for r in chunk_embed.chunk_and_embed(docs).collect()
+    }
+    chunks = chunk_documents(docs, id_col="doc_id", keep_cols=())
+    unfused = {
+        (r.doc_id, r.chunk_index): (r.chunk_text, r.chunk_token_count, tuple(r.embedding))
+        for r in embed_op.with_embedding(chunks, text_col="chunk_text").collect()
+    }
+    assert fused.keys() == unfused.keys()
+    for k in fused:
+        assert fused[k][0] == unfused[k][0]
+        assert fused[k][1] == unfused[k][1]
+        np.testing.assert_array_equal(
+            np.asarray(fused[k][2], dtype=np.float32),
+            np.asarray(unfused[k][2], dtype=np.float32),
+        )

@@ -108,3 +108,17 @@ def test_partition_pruning_on_output(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "ds" in m.group(1)
     assert q.count() > 0
+
+
+def test_time_travel_read(spark, tmp_path):
+    """Snapshot-as-of read returns exactly the partitions committed at
+    or before the chosen manifest timestamp."""
+    out = str(tmp_path / "out4")
+    sinks.resume_run(spark, _build, out)
+    man = sorted(sinks.read_manifest(spark, out).collect(), key=lambda r: (r.committed_at, r.ds))
+    cut = man[1].committed_at  # after the second commit (ties included)
+    expected_ds = {r.ds for r in man if r.committed_at <= cut}
+    got = sinks.read_output_asof(spark, out, cut)
+    assert {r.ds for r in got.select("ds").distinct().collect()} == expected_ds
+    # full read sees strictly more partitions than the snapshot
+    assert len(expected_ds) < len(man)
