@@ -97,3 +97,32 @@ def run_pipeline_incremental(
 
 def incremental_output(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
+
+
+def dedup_stream(
+    spark: SparkSession, pages_dir: str, out_dir: str, checkpoint: str
+) -> int:
+    """Streaming exact-dedup on url with a 1-day event-time watermark:
+    re-crawled duplicates arriving within the watermark are dropped
+    exactly-once across micro-batches (state = seen keys inside the
+    watermark window — bounded, unlike an unwatermarked distinct).
+    Returns rows written this increment."""
+    schema = spark.read.parquet(pages_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(pages_dir)
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    )
+    deduped = stream.withWatermark("warc_ts", "1 day").dropDuplicates(
+        ["url", "warc_ts"]
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.lastProgress
+    return int(progress["numInputRows"]) if progress else 0
