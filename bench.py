@@ -38,6 +38,8 @@ HEADLINE = [
     "dedup_exact",  # hash groupBy
     "sessionize",  # window lag + cumsum + agg
     "scrub_text",  # regex chain, whole-stage codegen
+    "dedup_minhash_lsh",  # shuffle-light LSH banding + verify joins
+    "ivf_topk",  # broadcast centroid assign + probe join + window
 ]
 
 

@@ -40,14 +40,20 @@ def corpus_with_near_dups_sql(d: str, table: str = "documents") -> str:
 
 
 def with_minhash(docs: DataFrame) -> DataFrame:
-    """doc_id, __sh (distinct shingle set), sig_0..sig_{K-1}."""
+    """doc_id, __sh (distinct shingle set), sig_0..sig_{K-1}.
+
+    One md5 per shingle (30-bit reduced); the K permutations are pure
+    arithmetic over the hashed array — 8× fewer md5 evaluations."""
     toks = H.tokens_lower("text", S)
     sh = H.shingles("__toks", S)
-    out = docs.selectExpr("doc_id", f"{toks} AS __toks").selectExpr(
-        "doc_id", f"{sh} AS __sh"
+    shh = H.shingle_hashes("__sh", S)
+    out = (
+        docs.selectExpr("doc_id", f"{toks} AS __toks")
+        .selectExpr("doc_id", f"{sh} AS __sh")
+        .selectExpr("doc_id", "__sh", f"{shh} AS __shh")
     )
     sig_cols = [
-        F.expr(H.minhash_sig("__sh", k, S)).alias(f"sig_{k}")
+        F.expr(H.minhash_sig("__shh", k, S)).alias(f"sig_{k}")
         for k in range(H.N_HASHES)
     ]
     return out.select(
@@ -119,8 +125,9 @@ def lsh_pairs_oracle_sql(d: str) -> str:
     corpus = corpus_with_near_dups_sql(d)
     toks = H.tokens_lower("text", d)
     sh = H.shingles("__toks", d)
+    shh = H.shingle_hashes("__sh", d)
     sig_cols = ", ".join(
-        f"{H.minhash_sig('__sh', k, d)} AS sig_{k}" for k in range(H.N_HASHES)
+        f"{H.minhash_sig('__shh', k, d)} AS sig_{k}" for k in range(H.N_HASHES)
     )
     dedup_sh = "array_distinct(__sh)" if d == S else "list_distinct(__sh)"
     band_rows = " UNION ALL ".join(
@@ -136,7 +143,8 @@ def lsh_pairs_oracle_sql(d: str) -> str:
     return f"""
 WITH corpus AS ({corpus}),
 sigs0 AS (SELECT doc_id, {sh} AS __sh FROM (SELECT doc_id, {toks} AS __toks FROM corpus)),
-sigs AS (SELECT doc_id, {dedup_sh} AS sh, {sig_cols} FROM sigs0),
+sigs1 AS (SELECT doc_id, __sh, {shh} AS __shh FROM sigs0),
+sigs AS (SELECT doc_id, {dedup_sh} AS sh, {sig_cols} FROM sigs1),
 bands AS ({band_rows}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

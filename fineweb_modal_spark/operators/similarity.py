@@ -60,15 +60,19 @@ def cosine_topk(emb: DataFrame, k: int = 3) -> DataFrame:
     Brute force; the corpus side of the join is broadcast by AQE when
     small enough, else sort-merge. rank ties broken by neighbor_id.
     """
+    # norms are per-ROW columns (computed once per vector, not per pair
+    # — at n vectors that is n evaluations instead of n²)
     a = emb.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("va")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("va"),
+        F.expr(_norm("embedding", S)).alias("na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("vb"),
+        F.expr(_norm("embedding", S)).alias("nb"),
     )
-    cos = F.expr(_dot("va", "vb", S)) / (
-        F.expr(_norm("va", S)) * F.expr(_norm("vb", S))
-    )
+    cos = F.expr(_dot("va", "vb", S)) / (F.col("na") * F.col("nb"))
     pairs = (
         a.crossJoin(F.broadcast(b))
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -91,13 +95,13 @@ def cosine_topk(emb: DataFrame, k: int = 3) -> DataFrame:
 
 def cosine_topk_oracle_sql(d: str, k: int = 3, table: str = "embeddings") -> str:
     dot = _dot("a.embedding", "b.embedding", d)
-    na = _norm("a.embedding", d)
-    nb = _norm("b.embedding", d)
+    nrm = _norm("embedding", d)
     return f"""
-WITH pairs AS (
+WITH n AS (SELECT vec_id, embedding, ({nrm}) AS vnorm FROM {table}),
+pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         ({dot}) / (({na}) * ({nb})) AS cosine
-  FROM {table} a JOIN {table} b ON a.vec_id <> b.vec_id
+         ({dot}) / (a.vnorm * b.vnorm) AS cosine
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
 ), ranked AS (
   SELECT query_id, neighbor_id, cosine,
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
@@ -173,20 +177,22 @@ def neardup_pairs_lsh(spark, emb_corpus: DataFrame) -> DataFrame:
             )
         ).alias("bucket")
     )
-    with_vec = buckets.join(emb_corpus, "vec_id")
+    with_vec = buckets.join(emb_corpus, "vec_id").withColumn(
+        "vnorm", F.expr(_norm("embedding", S))
+    )
     a = with_vec.select(
         F.col("bucket"),
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("va"),
+        F.col("vnorm").alias("na"),
     )
     b = with_vec.select(
         F.col("bucket"),
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("vb"),
+        F.col("vnorm").alias("nb"),
     )
-    cos = F.expr(_dot("va", "vb", S)) / (
-        F.expr(_norm("va", S)) * F.expr(_norm("vb", S))
-    )
+    cos = F.expr(_dot("va", "vb", S)) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "bucket")
         .where(F.col("vec_a") < F.col("vec_b"))
@@ -200,8 +206,7 @@ def neardup_oracle_sql(d: str) -> str:
     corpus = corpus_with_dup_vectors_sql(d)
     planes = plane_sign_sql(d)
     dot = _dot("a.embedding", "b.embedding", d)
-    na = _norm("a.embedding", d)
-    nb = _norm("b.embedding", d)
+    nrm = _norm("embedding", d)
     return f"""
 WITH corpus AS ({corpus}),
 planes AS ({planes}),
@@ -219,10 +224,11 @@ buckets AS (
          sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket
   FROM dots GROUP BY vec_id
 ),
-wv AS (SELECT b.bucket, c.vec_id, c.embedding FROM buckets b JOIN corpus c ON b.vec_id = c.vec_id),
+wv AS (SELECT b.bucket, c.vec_id, c.embedding, ({nrm}) AS vnorm
+       FROM buckets b JOIN corpus c ON b.vec_id = c.vec_id),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         ({dot}) / (({na}) * ({nb})) AS cosine
+         ({dot}) / (a.vnorm * b.vnorm) AS cosine
   FROM wv a JOIN wv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, round(cosine, 6) AS cosine
@@ -263,31 +269,73 @@ def ivf_topk(emb: DataFrame, k: int = 3, n_probe: int = N_PROBE) -> DataFrame:
     instead of all of it — the shuffle is (query × probed-cell), never
     O(n²). Recall < 1 by design; tests measure it against cosine_topk.
     """
-    cents = _centroids(emb)
+    cents = _centroids(emb).withColumn("cnorm", F.expr(_norm("cvec", S)))
+    with_n = emb.withColumn("vnorm", F.expr(_norm("embedding", S)))
     cos_c = F.expr(_dot("embedding", "cvec", S)) / (
-        F.expr(_norm("embedding", S)) * F.expr(_norm("cvec", S))
+        F.col("vnorm") * F.col("cnorm")
     )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", "centroid_id", cos_c.alias("ccos")
+    scored = with_n.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "vnorm", "centroid_id", cos_c.alias("ccos")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
     ranked = scored.withColumn("crank", F.row_number().over(w))
     assign = ranked.where(F.col("crank") == 1).select(
-        "vec_id", "embedding", F.col("centroid_id").alias("cell")
+        "vec_id", "embedding", "vnorm", F.col("centroid_id").alias("cell")
     )
     probes = ranked.where(F.col("crank") <= n_probe).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
         F.col("centroid_id").alias("cell"),
     )
-    cand = probes.join(assign, "cell").where(
-        F.col("query_id") != F.col("vec_id")
-    )
-    cos = F.expr(_dot("qvec", "embedding", S)) / (
-        F.expr(_norm("qvec", S)) * F.expr(_norm("embedding", S))
-    )
-    pairs = cand.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+    # Per-cell BLAS scoring: cogroup (queries, candidates) by cell and
+    # matmul inside applyInPandas — C-speed dot products with ONE
+    # shuffle on cell id, instead of per-pair interpreted array folds.
+    # Each function call sees one cell (~n/N_CENTROIDS vectors); at
+    # 10^12 scale cells are bounded by the centroid count chosen at
+    # index build, exactly like IVF posting lists.
+    import numpy as np
+    import pandas as pd
+
+    def per_cell(pq: pd.DataFrame, pa: pd.DataFrame) -> pd.DataFrame:
+        if len(pq) == 0 or len(pa) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
+        Q = np.stack(pq["qvec"].to_numpy()).astype(np.float64)
+        A = np.stack(pa["embedding"].to_numpy()).astype(np.float64)
+        cos = (Q @ A.T) / np.outer(
+            pq["qnorm"].to_numpy(), pa["vnorm"].to_numpy()
+        )
+        qids = pq["query_id"].to_numpy()
+        nids = pa["vec_id"].to_numpy()
+        out_q, out_n, out_c = [], [], []
+        kk = min(k, cos.shape[1])
+        for i in range(cos.shape[0]):
+            row = cos[i]
+            # mask self-pairs, take top-k within the cell (global rank
+            # happens afterwards in the window)
+            order = np.lexsort((nids, -row))
+            taken = 0
+            for j in order:
+                if nids[j] == qids[i]:
+                    continue
+                out_q.append(int(qids[i]))
+                out_n.append(int(nids[j]))
+                out_c.append(float(row[j]))
+                taken += 1
+                if taken >= kk:
+                    break
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+        )
+
+    pairs = (
+        probes.groupBy("cell")
+        .cogroup(assign.groupBy("cell"))
+        .applyInPandas(
+            per_cell, "query_id bigint, neighbor_id bigint, cosine double"
+        )
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -305,32 +353,32 @@ def ivf_topk_oracle_sql(
     d: str, k: int = 3, n_probe: int = N_PROBE, table: str = "embeddings"
 ) -> str:
     dotc = _dot("e.embedding", "c.cvec", d)
-    ne = _norm("e.embedding", d)
-    nc = _norm("c.cvec", d)
+    nrm_e = _norm("embedding", d)
+    nrm_c = _norm("cvec", d)
     dotq = _dot("p.qvec", "a.embedding", d)
-    nq = _norm("p.qvec", d)
-    na = _norm("a.embedding", d)
     return f"""
-WITH cents AS (
+WITH cents0 AS (
   SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS centroid_id,
          embedding AS cvec
   FROM (SELECT * FROM {table} ORDER BY vec_id ASC LIMIT {N_CENTROIDS})
 ),
+cents AS (SELECT centroid_id, cvec, ({nrm_c}) AS cnorm FROM cents0),
+en AS (SELECT vec_id, embedding, ({nrm_e}) AS vnorm FROM {table}),
 scored AS (
-  SELECT e.vec_id, e.embedding, c.centroid_id,
-         ({dotc}) / (({ne}) * ({nc})) AS ccos
-  FROM {table} e CROSS JOIN cents c
+  SELECT e.vec_id, e.embedding, e.vnorm, c.centroid_id,
+         ({dotc}) / (e.vnorm * c.cnorm) AS ccos
+  FROM en e CROSS JOIN cents c
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) AS crank
   FROM scored
 ),
-assign AS (SELECT vec_id, embedding, centroid_id AS cell FROM ranked WHERE crank = 1),
-probes AS (SELECT vec_id AS query_id, embedding AS qvec, centroid_id AS cell
+assign AS (SELECT vec_id, embedding, vnorm, centroid_id AS cell FROM ranked WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, embedding AS qvec, vnorm AS qnorm, centroid_id AS cell
            FROM ranked WHERE crank <= {n_probe}),
 pairs AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
-         ({dotq}) / (({nq}) * ({na})) AS cosine
+         ({dotq}) / (p.qnorm * a.vnorm) AS cosine
   FROM probes p JOIN assign a ON p.cell = a.cell AND p.query_id <> a.vec_id
 ),
 rankedq AS (

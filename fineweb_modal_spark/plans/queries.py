@@ -1084,3 +1084,21 @@ def q_geomean_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").agg(
         F.round(geomean("n_chars"), 6).alias("geomean_chars")
     )
+
+
+_JSON_STRUCT_ORACLE = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 90
+"""
+
+
+@register("events_json_struct", _JSON_STRUCT_ORACLE)
+def q_events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct column + field predicate —
+    the struct-type surface (the reference's nested `meta` column,
+    chunker.py:31, never materialized)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    return parsed.where(F.col("p.k") > 90).select(
+        "event_id", F.col("p.k").alias("k")
+    )

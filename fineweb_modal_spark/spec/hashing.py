@@ -82,24 +82,44 @@ def shingles(toks: str, d: str, n: int = N_SHINGLE) -> str:
     return _arr_transform(_seq("1", hi, d), lam, d)
 
 
-def minhash_sig(sh: str, k: int, d: str) -> str:
-    """k-th MinHash permutation: min over shingles of H(k | shingle)."""
-    h = md5_i64(f"'{k}|' || s", d)
-    return _arr_min(_arr_transform(sh, f"s -> {h}", d), d)
+# Universal-hash permutation constants (fixed, public): sig_k over a
+# 30-bit reduced md5 so (h*A + B) stays far inside BIGINT range.
+MINHASH_A = [1299721, 2750161, 4256249, 5800079, 7368787, 8960453, 10570841, 15485863]
+MINHASH_B = [104729, 224737, 350377, 479909, 611953, 746773, 882377, 1020379]
+MINHASH_P = 2147483647  # 2^31 - 1
+_H30 = 1 << 30
+
+
+def shingle_hashes(sh: str, d: str) -> str:
+    """ONE md5 per shingle, reduced to 30 bits — the permutations are
+    then pure arithmetic (8× fewer md5 evaluations than hashing each
+    (k | shingle) pair)."""
+    h = md5_i64("s", d)
+    return _arr_transform(sh, f"s -> ({h}) % {_H30}", d)
+
+
+def minhash_sig(hashed: str, k: int, d: str) -> str:
+    """k-th MinHash permutation: min over (A_k·h + B_k) mod P."""
+    a, b = MINHASH_A[k], MINHASH_B[k]
+    return _arr_min(
+        _arr_transform(hashed, f"h -> (h * {a} + {b}) % {MINHASH_P}", d), d
+    )
 
 
 def minhash_signatures_select(d: str, table: str = "documents") -> str:
     """doc_id + sig_0..sig_{K-1} in one scan, no shuffle, no explode:
-    each signature is an array fold over the row's own shingles."""
+    each signature is an array fold over the row's own hashed shingles."""
     toks = tokens_lower("text", d)
     sh = shingles("__toks", d)
+    shh = shingle_hashes("__sh", d)
     sig_cols = ", ".join(
-        f"{minhash_sig('__sh', k, d)} AS sig_{k}" for k in range(N_HASHES)
+        f"{minhash_sig('__shh', k, d)} AS sig_{k}" for k in range(N_HASHES)
     )
     return (
         f"SELECT doc_id, {sig_cols} FROM "
+        f"(SELECT doc_id, {shh} AS __shh FROM "
         f"(SELECT doc_id, {sh} AS __sh FROM "
-        f"(SELECT doc_id, {toks} AS __toks FROM {table}))"
+        f"(SELECT doc_id, {toks} AS __toks FROM {table})))"
     )
 
 
