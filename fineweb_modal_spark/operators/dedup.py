@@ -75,7 +75,11 @@ def lsh_pairs(docs: DataFrame) -> DataFrame:
     id-equi-joins to hydrate shingle sets (broadcastable when the
     candidate set is small; AQE decides).
     """
-    sigs = with_minhash(docs)
+    # the signature relation feeds three consumers (banding + both
+    # hydration sides); persist it instead of recomputing the md5/
+    # shingle work 3x — at corpus scale this is a materialized
+    # signature TABLE (the index), not a cache
+    sigs = with_minhash(docs).persist()
     band_arr = F.array(
         *[F.expr(H.band_hash(b, S)) for b in range(H.N_BANDS)]
     )
