@@ -39,9 +39,9 @@ def score_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     W = langid_model.build_weights()  # once per task, reused per batch
     logp = qr.build_bigram_logprobs()
     for texts in batches:
-        t = texts.fillna("").tolist()
+        t = texts.fillna("")  # stays a Series end-to-end — no list copy
         preds, confs = langid_model.predict_batch(t, W)
-        ppl = qr.perplexity_batch(t, logp)
+        ppl = qr.perplexity_batch(t.to_numpy(), logp)
         yield pd.DataFrame({"lang_pred": preds, "lang_conf": confs, "ppl": ppl})
 
 

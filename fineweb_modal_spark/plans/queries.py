@@ -1102,3 +1102,31 @@ def q_events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.where(F.col("p.k") > 90).select(
         "event_id", F.col("p.k").alias("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML extraction (input_hint byte-identical invariant, first-class)
+# ---------------------------------------------------------------------------
+
+_EXTRACT_ORACLE = f"""
+WITH pages AS ({pages_mod.pages_select_sql(sd.DUCKDB, with_html=True)})
+SELECT url,
+       regexp_replace(decode(html), '{pages_mod.EXTRACT_TAG_RE}', '', 'g') AS extracted_text,
+       regexp_replace(decode(html), '{pages_mod.EXTRACT_TAG_RE}', '', 'g') = text AS ok
+FROM pages
+"""
+
+
+@register("extract_text", _EXTRACT_ORACLE)
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode(html) → strip tags → byte-compare against the stored
+    text column: every row must be ok=true (input_hint contract)."""
+    from ..operators import extract
+
+    p = pages_mod.load_pages(spark, sf_dir, with_html=True)
+    ex = extract.with_extracted_text(p)
+    return ex.select(
+        "url",
+        "extracted_text",
+        (F.col("extracted_text") == F.col("text")).alias("ok"),
+    )

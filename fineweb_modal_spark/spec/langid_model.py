@@ -97,7 +97,11 @@ def predict_batch(texts: list[str], model=None) -> tuple[list[str], np.ndarray]:
         model = _MODEL
     word_w, gram_w = model
     n = len(texts)
-    s = pd.Series(texts, dtype="object").fillna("")
+    s = (
+        texts.reset_index(drop=True)
+        if isinstance(texts, pd.Series)
+        else pd.Series(texts, dtype="object")
+    ).fillna("")
     toks = s.str.lower().str.split()
     n_words = toks.str.len().to_numpy(np.int64)
     joined = toks.str.join(" ")
