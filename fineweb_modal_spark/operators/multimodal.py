@@ -105,3 +105,105 @@ def decode_real(pages: DataFrame) -> DataFrame:  # pragma: no cover
         "media decode requires PIL/av which are not installed; "
         "use decode_stub for plumbing tests"
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+    ]
+)
+
+
+def resize_stub(decoded: DataFrame, max_side: int = 64) -> DataFrame:
+    """Deterministic resize stub over decoded dims: scale the longer
+    side to max_side preserving aspect (integer floor math — the same
+    closed form as resize_stub_sql). Real impl would be PIL thumbnail
+    inside the same mapInPandas."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            long_side = w.where(w >= h, h)
+            out_w = (w * max_side // long_side).astype("int32")
+            out_h = (h * max_side // long_side).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_w": out_w,
+                    "out_h": out_h,
+                }
+            )
+
+    return decoded.select("doc_id", "width", "height").mapInPandas(
+        fn, RESIZE_SCHEMA
+    )
+
+
+def resize_stub_sql(d: str, html_expr: str, max_side: int = 64) -> str:
+    blen = f"octet_length({html_expr})"
+    w = f"(100 + {blen} % 100)"
+    h = f"(100 + {blen} % 77)"
+    return f"""
+SELECT doc_id,
+       CAST({w} AS INT) AS width,
+       CAST({h} AS INT) AS height,
+       CAST(({w} * {max_side}) // greatest({w}, {h}) AS INT) AS out_w,
+       CAST(({h} * {max_side}) // greatest({w}, {h}) AS INT) AS out_h
+FROM documents
+""".strip()
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("byte_offset", LongType()),
+    ]
+)
+
+
+def frame_sample_stub(pages: DataFrame, n_frames: int = 4) -> DataFrame:
+    """1→N flat-map over an opaque 'video' payload: emit n_frames
+    deterministic byte offsets (k·len/n). Real impl: pyav keyframe
+    seek inside the same mapInPandas — identical Spark plumbing."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lens = pdf["html"].map(len)
+            ids, idxs, offs = [], [], []
+            for did, ln in zip(pdf["doc_id"], lens):
+                for k in range(n_frames):
+                    ids.append(int(did))
+                    idxs.append(k)
+                    offs.append(int(k * ln // n_frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "byte_offset": pd.Series(offs, dtype="int64"),
+                }
+            )
+
+    return pages.select("doc_id", "html").mapInPandas(fn, FRAME_SCHEMA)
+
+
+def frame_sample_sql(d: str, html_expr: str, n_frames: int = 4) -> str:
+    blen = f"octet_length({html_expr})"
+    if d == "spark":
+        return f"""
+SELECT doc_id, CAST(k AS INT) AS frame_idx,
+       CAST((k * {blen}) DIV {n_frames} AS BIGINT) AS byte_offset
+FROM documents LATERAL VIEW explode(sequence(0, {n_frames - 1})) t AS k
+""".strip()
+    return f"""
+SELECT doc_id, CAST(k AS INT) AS frame_idx,
+       CAST((k * {blen}) // {n_frames} AS BIGINT) AS byte_offset
+FROM documents, generate_series(0, {n_frames - 1}) t(k)
+""".strip()

@@ -1130,3 +1130,19 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extracted_text",
         (F.col("extracted_text") == F.col("text")).alias("ok"),
     )
+
+
+@register("multimodal_resize", multimodal.resize_stub_sql(D, _HTML_DUCK))
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stub chained after the decode stub (two mapInPandas
+    stages over typed metadata) — closed-form oracle."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=True)
+    return multimodal.resize_stub(multimodal.decode_stub(p))
+
+
+@register("multimodal_frames", multimodal.frame_sample_sql(D, _HTML_DUCK))
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling over the opaque binary payload (flat-map
+    shape of video decode) — closed-form oracle."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=True)
+    return multimodal.frame_sample_stub(p)
