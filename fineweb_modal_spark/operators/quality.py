@@ -29,9 +29,11 @@ def with_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the per-document quality-signal columns.
 
     One split() materialized once per row; all ratios float64 to match
-    the SQL oracle exactly.
+    the SQL oracle exactly. NULL text is treated as empty (spec
+    signals_py semantics) so null rows drop with 'too_few_words', not
+    an accidental downstream reason.
     """
-    text = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.col(_TOKS)
     n_words = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(toks))
     stop_arr = [F.lit(s) for s in qr.STOPWORDS]

@@ -24,7 +24,10 @@ def scrub_expr(col: Column) -> Column:
 
 
 def with_scrubbed(df: DataFrame, text_col: str = "text", out_col: str = "scrubbed_text") -> DataFrame:
-    return df.withColumn(out_col, scrub_expr(F.col(text_col)))
+    # NULL text → '' (spec scrub_py(None) semantics)
+    return df.withColumn(
+        out_col, scrub_expr(F.coalesce(F.col(text_col), F.lit("")))
+    )
 
 
 def scrub_sql(col: str, d: str) -> str:

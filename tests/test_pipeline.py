@@ -91,3 +91,27 @@ def test_langid_agreement_with_claimed_lang(spark):
     total = out.count()
     agree = out.filter(F.col("lang_pred") == F.col("lang")).count()
     assert agree / total > 0.85, f"lang agreement {agree}/{total}"
+
+
+def test_null_and_empty_text_rows(spark):
+    """NULL/empty text rows flow through the whole DAG without error
+    and match the pure-Python spec exactly (null ≡ empty)."""
+    import datetime
+
+    rows = [
+        ("https://n/1", datetime.datetime(2024, 1, 1), None, "en", 1),
+        ("https://n/2", datetime.datetime(2024, 1, 1), "", "en", 2),
+        ("https://n/3", datetime.datetime(2024, 1, 1), "   ", "en", 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string, doc_id long"
+    )
+    texts = {1: None, 2: "", 3: "   "}
+    out = {r.doc_id: r for r in pipeline.pipeline_df(df).collect()}
+    for did, r in out.items():
+        want_keep, want_reason = quality_rules.keep_py(texts[did] or "")
+        assert (r.keep, r.drop_reason) == (want_keep, want_reason), did
+        assert r.drop_reason == "too_few_words"
+        # scrub preserves the original bytes (NULL ≡ empty)
+        assert r.scrubbed_text == scrub_spec.scrub_py(texts[did] or "")
+        assert r.lang_pred == "und" and r.lang_conf == 1.0
