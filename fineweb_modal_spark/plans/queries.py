@@ -1146,3 +1146,65 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape of video decode) — closed-form oracle."""
     p = pages_mod.load_pages(spark, sf_dir, with_html=True)
     return multimodal.frame_sample_stub(p)
+
+
+# ---------------------------------------------------------------------------
+# Sparse (top_indices, top_acts) top-k — the reference's exact SAE
+# feature shape (features.py:150-152 → top10map/top10reduce)
+# ---------------------------------------------------------------------------
+
+_SPARSE_TOPK_ORACLE = """
+WITH per_vec AS (
+  SELECT vec_id, feature, activation,
+         row_number() OVER (PARTITION BY vec_id ORDER BY activation DESC, feature ASC) AS vr
+  FROM (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS feature,
+           CAST(unnest(embedding) AS DOUBLE) AS activation
+    FROM embeddings
+  )
+), sparse AS (SELECT vec_id, feature, activation FROM per_vec WHERE vr <= 8),
+ranked AS (
+  SELECT feature, vec_id, activation,
+         row_number() OVER (PARTITION BY feature ORDER BY activation DESC, vec_id ASC) AS rank
+  FROM sparse
+)
+SELECT feature, vec_id, round(activation, 6) AS activation, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("topk_sparse_features", _SPARSE_TOPK_ORACLE)
+def q_topk_sparse_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the reference's sparse (top_indices, top_acts) arrays per
+    row (features.py:138-152, top-8 here) then run the sparse top-k
+    operator (arrays_zip + posexplode + window) — the exact two-script
+    map/reduce of top10map/top10reduce as one plan over the exact
+    sparse schema."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    zipped = emb.select(
+        "vec_id",
+        F.expr(
+            """
+            slice(
+              array_sort(
+                arrays_zip(embedding, sequence(0, size(embedding) - 1)),
+                (l, r) -> CASE
+                    WHEN l.embedding > r.embedding THEN -1
+                    WHEN l.embedding < r.embedding THEN 1
+                    WHEN l.`1` < r.`1` THEN -1 ELSE 1 END
+              ), 1, 8)
+            """
+        ).alias("top8"),
+    )
+    sparse = zipped.select(
+        "vec_id",
+        F.expr("transform(top8, x -> CAST(x.`1` AS BIGINT))").alias("top_indices"),
+        F.expr("transform(top8, x -> CAST(x.embedding AS DOUBLE))").alias("top_acts"),
+    )
+    t = topk.topk_sparse_per_feature(
+        sparse, k=5, key_cols=("vec_id",)
+    )
+    return t.select(
+        "feature", "vec_id", F.round("activation", 6).alias("activation"), "rank"
+    )
