@@ -1208,3 +1208,49 @@ def q_topk_sparse_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "feature", "vec_id", F.round("activation", 6).alias("activation"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# The north-rule DAG itself and the committed write layer as gate
+# queries (rows-only: langid/ppl are Python-spec scored, and the write
+# path's product is its manifest)
+# ---------------------------------------------------------------------------
+
+
+@register("pipeline_scored")
+def q_pipeline_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship langid→quality→ppl→keep→scrub DAG, row-level
+    output (entry() exposes the rollup; this exposes the rows).
+    Spec-parity is enforced in tests/test_pipeline.py (F1 ≥ 0.99,
+    byte-identical scrub)."""
+    from . import pipeline as pl
+
+    return pl.run_pipeline(spark, sf_dir).select(
+        "url", "doc_id", "lang_pred", F.round("lang_conf", 4).alias("lang_conf"),
+        F.round("ppl", 6).alias("ppl"), "keep", "drop_reason", "scrubbed_text",
+    )
+
+
+@register("committed_write_roundtrip")
+def q_committed_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the scored corpus through the committed partitioned sink
+    (salted, manifest + lineage rows) into a temp table, then return
+    the manifest — the write layer driven end-to-end inside the gate."""
+    import tempfile
+
+    from .. import sinks
+    from . import pipeline as pl
+
+    out = tempfile.mkdtemp(prefix="gate_write_") + "/out"
+
+    def build(s):
+        return sinks.with_partition_cols(
+            pl.run_pipeline(s, sf_dir), granularity="minute"
+        ).select(
+            "url", "ds", "salt", "doc_id", "keep", "drop_reason", "scrubbed_text"
+        )
+
+    sinks.resume_run(spark, build, out)
+    return sinks.read_manifest(spark, out).select(
+        "ds", "n_rows", "n_keep", "out_chars"
+    )
