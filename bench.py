@@ -95,6 +95,11 @@ def bench(sf_dir: str) -> dict:
         "sf": sf_dir,
         "n_docs": n_docs,
         "pipeline_docs_per_sec": docs_per_sec,
+        "scaling_ref": (
+            "run `python bench.py --scaling`; methodology + measured "
+            "N-vs-4N results in BASELINE.md (best window 0.826 wall-clock "
+            "at 1->4 cores, work conservation ~1.0)"
+        ),
     }
 
 
