@@ -149,7 +149,14 @@ def signals_sql(
     distinct = sd.arr_len(sd.arr_distinct("__toks", d), d)
     no_ws = sd.token_len_sum("__toks", d)
     digits = f"(length({text_col}) - length(translate({text_col}, '0123456789', '')))"
-    inner = f"SELECT {key_cols}, {text_col}, {toks} AS __toks, {n_words} AS n_words FROM {table}"
+    # NULL text must behave like '' (as the Spark operator's coalesce and
+    # the Python spec do) — otherwise every signal and drop-rule WHEN is
+    # NULL and keep flips to TRUE, the opposite of Spark's 'too_few_words'.
+    inner = (
+        f"SELECT {key_cols}, coalesce({text_col}, '') AS {text_col}, "
+        f"{toks} AS __toks, {n_words} AS n_words "
+        f"FROM (SELECT {key_cols}, coalesce({text_col}, '') AS {text_col} FROM {table})"
+    )
 
     def rnd(e: str) -> str:
         return f"round({e}, 6)" if round_out else e

@@ -102,10 +102,10 @@ def q_filter_short_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUMMARY_ORACLE = f"""
 SELECT source,
        count(*) AS n_docs,
-       sum(n_chars) AS sum_chars,
-       sum(CASE WHEN n_words < 2 THEN 1 ELSE 0 END) AS n_under2,
-       sum(CASE WHEN n_words < 10 THEN 1 ELSE 0 END) AS n_under10,
-       sum(CASE WHEN n_words < 50 THEN 1 ELSE 0 END) AS n_under50
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(CASE WHEN n_words < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_under2,
+       CAST(sum(CASE WHEN n_words < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_under10,
+       CAST(sum(CASE WHEN n_words < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_under50
 FROM (SELECT source, n_chars, {sd.n_words_sql('text', D)} AS n_words FROM documents)
 GROUP BY source
 """
@@ -294,7 +294,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_ORACLE = """
 WITH g AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
               THEN 1 ELSE 0 END AS is_new
@@ -302,7 +302,8 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start
@@ -317,7 +318,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cum = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     g = ev.withColumn(
@@ -629,8 +630,16 @@ def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U4/U5 embed stage (embed-tei.py:205-334) as an Arrow UDF column —
     rows-only gate; spec-parity asserted in tests/test_embed.py."""
     docs = load_table(spark, sf_dir, "documents")
-    return embed_op.with_embedding(docs.select("doc_id", "text")).select(
-        "doc_id", "embedding"
+    e = embed_op.with_embedding(docs.select("doc_id", "text"))
+    # Scalar projection (md5 of the JSON rendering + rounded L2 norm):
+    # the driver's canonicalizer hashes cell values, so array columns
+    # must be folded to hashable scalars for the gate.
+    return e.select(
+        "doc_id",
+        F.md5(F.to_json(F.col("embedding"))).alias("emb_md5"),
+        F.round(
+            F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("emb_norm"),
     )
 
 
@@ -703,7 +712,7 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ROLLUP_ORACLE = """
-SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY ROLLUP (source, lang)
 """
 
@@ -844,7 +853,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _POSTINGS_ORACLE = """
 SELECT tok, count(DISTINCT doc_id) AS df,
-       list_sort(list(DISTINCT doc_id)) AS postings
+       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
 FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
       FROM documents WHERE length(trim(text)) > 0)
 GROUP BY tok HAVING count(DISTINCT doc_id) >= 50
@@ -867,7 +876,11 @@ def q_fts_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.groupBy("tok")
         .agg(
             F.countDistinct("doc_id").alias("df"),
-            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+            # csv projection: posting lists stay hashable for the gate's
+            # cell-level value hash (arrays crash a pandas sort_values).
+            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias(
+                "postings"
+            ),
         )
         .where(F.col("df") >= 50)
     )
@@ -947,7 +960,7 @@ WITH pages AS ({pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)}),
 k AS ({quality.keep_sql(sd.DUCKDB, table="pages", text_col="text", key_cols="doc_id, url")})
 SELECT regexp_extract(k.url, 'https://([^./]+)', 1) AS host,
        count(*) AS n_docs,
-       sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS n_keep,
+       CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
        round(CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate
 FROM k GROUP BY 1
 """
@@ -1000,11 +1013,11 @@ def q_docs_missing_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIVOT_ORACLE = """
 SELECT source,
-       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en,
-       sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS fr,
-       sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS de,
-       sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS es,
-       sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS zh
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
 FROM documents GROUP BY source
 """
 

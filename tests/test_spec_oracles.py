@@ -125,3 +125,49 @@ def test_quality_signals_and_keep_match_oracle(spark):
         assert r.distinct_ratio == pytest.approx(want["distinct_ratio"], abs=1e-9)
         keep, reason = quality_rules.keep_py(r.text)
         assert (r.keep, r.drop_reason) == (keep, reason)
+
+
+def test_quality_sql_renderings_null_text(spark):
+    """NULL text must behave like '' in BOTH dialect renderings, matching
+    the Spark operator's coalesce and quality_rules.keep_py('') —
+    previously the DuckDB rendering propagated NULL through every
+    drop-rule WHEN and flipped keep to TRUE."""
+    import duckdb
+
+    from fineweb_modal_spark.functions import sqldialect as sd
+
+    fixtures = [(0, None), (1, ""), (2, "the quick brown fox is here and it is fine")]
+
+    # Spark operator path
+    df = spark.createDataFrame(fixtures, "doc_id long, text string")
+    got_spark = {
+        r.doc_id: (r.keep, r.drop_reason)
+        for r in quality.with_keep(quality.with_signals(df)).collect()
+    }
+
+    # DuckDB rendering
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", fixtures)
+    got_duck = {
+        r[0]: (bool(r[1]), r[2])
+        for r in con.execute(
+            quality.keep_sql(sd.DUCKDB, table="t")
+        ).fetchall()
+    }
+
+    # Spark-dialect SQL rendering (the third rendering)
+    df.createOrReplaceTempView("t_nulltext")
+    got_spark_sql = {
+        r.doc_id: (r.keep, r.drop_reason)
+        for r in spark.sql(
+            quality.keep_sql(sd.SPARK, table="t_nulltext")
+        ).collect()
+    }
+
+    for i, text in fixtures:
+        want = quality_rules.keep_py(text or "")
+        assert got_spark[i] == want, (i, got_spark[i], want)
+        assert got_duck[i] == want, (i, got_duck[i], want)
+        assert got_spark_sql[i] == want, (i, got_spark_sql[i], want)
+    assert got_spark[0] == (False, "too_few_words")

@@ -16,20 +16,27 @@ import math
 import sys
 
 import duckdb
+import numpy as np
 
 
 def _norm_cell(v):
-    if v is None:
+    if v is None or v is np.nan and not isinstance(v, float):
         return "\0"
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return str(int(v))
+    # Type-tagged float rendering: the driver fetches DuckDB results via
+    # pandas, where an integer sum() (HUGEINT) degrades to float64 while
+    # Spark keeps int64 — tag floats so that divergence hashes differently
+    # here too instead of "244" == "244.0" silently passing.
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
-    if isinstance(v, bool):
+        return f"f{v:.6g}"
+    if isinstance(v, (int, np.integer)):
         return str(int(v))
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     return str(v)
 
@@ -69,13 +76,25 @@ def run(sf_dir: str, only: list[str] | None = None) -> bool:
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
         sfp = frame_fingerprint(scols, srows)
+        arrayish = any(
+            isinstance(c, (list, tuple, np.ndarray))
+            for r in srows[:5]
+            for c in r
+        )
+        if arrayish:
+            # The driver canonicalizes through pandas sort_values, which
+            # raises on list cells — flag before the driver does.
+            print(f"{name:36s} WARNING: array-typed cells — driver gate would crash")
+            ok = False
         if name not in oracles:
             print(f"{name:36s} rows={sfp[0]:>7} (rows-only; no oracle)")
             continue
         try:
-            res = con.execute(oracles[name])
-            orows = res.fetchall()
-            ocols = [c[0] for c in res.description]
+            # Fetch through pandas like the driver does, so DuckDB
+            # HUGEINT→float64 degradation is reproduced, not hidden.
+            odf = con.execute(oracles[name]).df()
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
+            ocols = list(odf.columns)
         except Exception as e:  # noqa: BLE001
             print(f"{name:36s} ORACLE ERROR: {str(e).splitlines()[0]}")
             ok = False
