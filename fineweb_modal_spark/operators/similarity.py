@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, per the training-data-toolbox contract:
+Three paths, per the training-data-toolbox contract:
 
 * `cosine_topk` — brute-force cosine top-k: the correctness baseline.
   Self-join (broadcast when one side fits) + window row_number. At
@@ -10,17 +10,28 @@ Two paths, per the training-data-toolbox contract:
 * `neardup_cosine_lsh` — random-hyperplane sign-LSH: P deterministic
   ±1 hyperplanes (md5-derived, shared with the DuckDB oracle) bucket
   vectors by sign pattern; only in-bucket pairs get exact cosine.
-  The bucket shuffle replaces the O(n²) cross join — the scale path
-  for embedding near-dup removal.
+  The bucket computation is a ROW-LOCAL fold over literal plane
+  weights (zero shuffle, the minhash_signatures pattern); the bucket
+  self-join replaces the O(n²) cross join — the scale path for
+  embedding near-dup removal.
+* `ivf_topk` — a trained IVF index: sampled k-means (Lloyd) with
+  sqrt(n) centroids, broadcast BLAS assignment, and blocked per-cell
+  matmul scoring with hard caps on block size — so no pandas group
+  ever materializes more than CELL_CAP×QUERY_CAP work regardless of
+  corpus size or cell skew.
 
 The reference's nearest analog is the LanceDB IVF-PQ index build
-(lancer.py:203-216, SURVEY.md S11) — an external index; here both
-paths are plain Catalyst plans over the same table.
+(lancer.py:203-216, SURVEY.md S11) — num_partitions=int(n**0.5),
+metric=cosine, trained on the data. `train_ivf_centroids` +
+`build_ivf_index` reproduce that contract (sampled training,
+sqrt(n) cells, persisted centroid table) on Spark.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..spec import hashing as H
@@ -134,7 +145,10 @@ def corpus_with_dup_vectors_sql(d: str, table: str = "embeddings") -> str:
 
 
 def plane_sign_sql(d: str) -> str:
-    """(p, dim, s∈{-1,1}) hyperplane table — md5-derived, dialect-shared."""
+    """(p, dim, s∈{-1,1}) hyperplane table — md5-derived, dialect-shared.
+    The DuckDB oracle derives planes this way; the Spark operator bakes
+    the SAME values in as literals (see `_plane_weights`), so the two
+    derivations cross-check each other."""
     h = H.md5_i64("CAST(p AS STRING) || '_' || CAST(dim AS STRING)", d) if d == S else H.md5_i64(
         "CAST(p AS VARCHAR) || '_' || CAST(dim AS VARCHAR)", d
     )
@@ -151,34 +165,55 @@ def plane_sign_sql(d: str) -> str:
     )
 
 
+def _plane_weights(n_planes: int = N_PLANES, dims: int = 64) -> list[list[float]]:
+    """±1 plane weights, bit-identical to `plane_sign_sql`'s derivation:
+    low bit of the 60-bit md5 integer of "{p}_{dim}" (spec/hashing.py
+    md5_i64). Precomputed host-side so the Spark bucket stage can fold
+    them as literals — no plane table, no join, no shuffle."""
+    out = []
+    for p in range(n_planes):
+        row = []
+        for dim in range(1, dims + 1):
+            h = int(hashlib.md5(f"{p}_{dim}".encode()).hexdigest()[:15], 16)
+            row.append(1.0 if (h & 1) == 1 else -1.0)
+        out.append(row)
+    return out
+
+
+def bucket_expr(col: str = "embedding") -> Column:
+    """Row-local sign-LSH bucket id: P literal-weight dot folds + bit
+    pack. Replaces the former posexplode(embedding)→join(planes)→
+    groupBy(vec,p) formulation, which shuffled n×dims rows (a 64×
+    row blowup) for what is per-row arithmetic."""
+    terms = []
+    for p, row in enumerate(_plane_weights()):
+        arr = "array(" + ", ".join(
+            f"CAST({w:.1f} AS DOUBLE)" for w in row
+        ) + ")"
+        dot = (
+            f"aggregate(zip_with({col}, {arr}, (x, w) -> CAST(x AS DOUBLE) * w), "
+            f"CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+        )
+        terms.append(
+            f"(CASE WHEN ({dot}) > 0 THEN CAST({1 << p} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    return F.expr(" + ".join(terms))
+
+
 def neardup_pairs_lsh(spark, emb_corpus: DataFrame) -> DataFrame:
     """(vec_a, vec_b, cosine) for in-bucket pairs with cosine ≥ threshold.
 
-    posexplode(embedding) → broadcast-join the 512-row plane table →
-    per (vec,plane) signed dot → sign-bit bucket → in-bucket self-join
-    → exact cosine verify. Shuffles: one groupBy(vec,p), one bucket
-    join — no O(n²) stage anywhere.
+    Bucket ids and norms are row-local column expressions (zero
+    shuffle); the ONLY shuffle is the bucket self-join, followed by
+    exact cosine verify. No O(n²) stage anywhere. `spark` is unused
+    (kept for API stability — the plane table used to be spark.sql'd).
     """
-    planes = spark.sql(plane_sign_sql(S))
-    comp = emb_corpus.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "val")
-    ).withColumn("dim", F.col("pos") + 1)
-    dots = (
-        comp.join(F.broadcast(planes), "dim")
-        .groupBy("vec_id", "p")
-        .agg(
-            F.sum(F.col("val").cast("double") * F.col("s")).alias("dot")
-        )
-    )
-    buckets = dots.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("dot") > 0, F.expr("CAST(pow(2, p) AS BIGINT)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("bucket")
-    )
-    with_vec = buckets.join(emb_corpus, "vec_id").withColumn(
-        "vnorm", F.expr(_norm("embedding", S))
+    with_vec = emb_corpus.select(
+        "vec_id",
+        "embedding",
+        bucket_expr("embedding").alias("bucket"),
+        F.expr(_norm("embedding", S)).alias("vnorm"),
     )
     a = with_vec.select(
         F.col("bucket"),
@@ -237,71 +272,244 @@ FROM pairs WHERE cosine >= {COS_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
-# IVF (inverted-file) ANN: coarse-quantize to centroids, probe nearest
-# cells only — the index-backed scale path (reference S11, the LanceDB
-# IVF-PQ build at lancer.py:203-216, re-expressed as pure Catalyst).
+# IVF (inverted-file) ANN with a TRAINED index: sampled k-means,
+# sqrt(n) centroids, blocked BLAS scoring. Reference S11 — the LanceDB
+# IVF-PQ build at lancer.py:203-216 (num_partitions=int(n**0.5),
+# metric=cosine) — re-expressed on Spark.
 # ---------------------------------------------------------------------------
 
-N_CENTROIDS = 16
 N_PROBE = 4
+N_ITERS = 2  # Lloyd refinement passes over the training sample
+SAMPLE_CAP = 1 << 16  # training-sample row bound (hash-sampled above this)
+CELL_CAP = 1 << 16  # max candidate rows per scoring block (salt above)
+QUERY_CAP = 1 << 16  # max query rows per scoring block
 
 
-def _centroids(emb: DataFrame, n: int = N_CENTROIDS) -> DataFrame:
-    """Deterministic coarse centroids: the n lowest-id vectors.
-    (Production would k-means; determinism matters more here and the
-    assignment/probe/search plumbing is identical.)"""
-    w = Window.orderBy(F.asc("vec_id"))
-    return (
-        emb.orderBy("vec_id")
-        .limit(n)
-        .withColumn("centroid_id", F.row_number().over(w) - 1)
-        .select("centroid_id", F.col("embedding").alias("cvec"))
-    )
+def _np():
+    import numpy as np
+
+    return np
 
 
-def ivf_topk(emb: DataFrame, k: int = 3, n_probe: int = N_PROBE) -> DataFrame:
-    """Top-k cosine neighbors via IVF: assign every vector to its
-    max-cosine centroid (broadcast join — centroid table is tiny),
-    then for each query probe only the n_probe nearest cells.
+def _assign_cells(
+    emb: DataFrame,
+    cent_ids,
+    cent_mat,
+    n_probe: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Top-`n_probe` nearest centroids per vector, by cosine (ties →
+    lowest centroid_id), via one Arrow-batched BLAS matmul against the
+    broadcast centroid matrix — zero shuffle, O(n·C·d) FLOPs in C.
 
-    vs brute force: the candidate join keys on cell id, so the
-    pairwise stage scans ~n_probe/N_CENTROIDS of the corpus per query
-    instead of all of it — the shuffle is (query × probed-cell), never
-    O(n²). Recall < 1 by design; tests measure it against cosine_topk.
+    Output: (vec_id, embedding:array<double>, vnorm, cell, crank).
+    crank=1 is the home cell (IVF posting list); crank≤n_probe are the
+    probe targets when the same relation is used as the query side.
     """
-    cents = _centroids(emb).withColumn("cnorm", F.expr(_norm("cvec", S)))
-    with_n = emb.withColumn("vnorm", F.expr(_norm("embedding", S)))
-    cos_c = F.expr(_dot("embedding", "cvec", S)) / (
-        F.col("vnorm") * F.col("cnorm")
+    np = _np()
+    cent_mat = np.ascontiguousarray(cent_mat, dtype=np.float64)
+    cent_ids = np.asarray(cent_ids, dtype=np.int64)
+    cnorm = np.sqrt((cent_mat * cent_mat).sum(axis=1))
+    npe = min(n_probe, len(cent_ids))
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            vn = np.sqrt((E * E).sum(axis=1))
+            cos = (E @ cent_mat.T) / np.outer(vn, cnorm)
+            order = np.lexsort(
+                (np.broadcast_to(cent_ids, cos.shape), -cos)
+            )[:, :npe]
+            ridx = np.repeat(np.arange(len(pdf)), npe)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy()[ridx],
+                    "embedding": [E[i] for i in ridx],
+                    "vnorm": vn[ridx],
+                    "cell": cent_ids[order].ravel(),
+                    "crank": np.tile(np.arange(1, npe + 1), len(pdf)),
+                }
+            )
+
+    return emb.select(
+        F.col(id_col).alias(id_col), F.col(emb_col).alias(emb_col)
+    ).mapInPandas(
+        fn, "vec_id bigint, embedding array<double>, vnorm double, cell bigint, crank int"
     )
-    scored = with_n.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", "vnorm", "centroid_id", cos_c.alias("ccos")
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n: int | None = None,
+    n_iters: int = N_ITERS,
+    sample_cap: int = SAMPLE_CAP,
+):
+    """Sampled k-means: C = floor(sqrt(n)) centroids (the reference's
+    num_partitions=int(n**0.5), lancer.py:208), trained by `n_iters`
+    Lloyd passes over a deterministic md5-hash sample of ≤ ~sample_cap
+    rows. Returns (centroid_ids, centroid_matrix) as numpy arrays —
+    the index payload (sqrt(n)×d doubles: driver-small even at 10^9
+    vectors ≈ 16 MB).
+
+    Determinism end-to-end (sampling, seeding, tie-breaks) so the
+    DuckDB oracle can re-derive the identical index relationally.
+    """
+    np = _np()
+    if n is None:
+        n = emb.count()
+    c = max(1, int(n**0.5))
+    samp_mod = max(1, n // sample_cap)
+    md5v = H.md5_i64("CAST(vec_id AS STRING)", S)
+    sample = (
+        emb.where(F.expr(f"({md5v}) % {samp_mod} = 0")) if samp_mod > 1 else emb
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
-    ranked = scored.withColumn("crank", F.row_number().over(w))
-    assign = ranked.where(F.col("crank") == 1).select(
-        "vec_id", "embedding", "vnorm", F.col("centroid_id").alias("cell")
+    # Seeds: C sample vectors with the lowest md5('seed:'||vec_id) —
+    # TakeOrderedAndProject (no global window), C rows to the driver.
+    seed_key = H.md5_i64("'seed:' || CAST(vec_id AS STRING)", S)
+    seeds = (
+        sample.select("vec_id", "embedding", F.expr(seed_key).alias("sk"))
+        .orderBy(F.asc("sk"), F.asc("vec_id"))
+        .limit(c)
+        .collect()
     )
-    probes = ranked.where(F.col("crank") <= n_probe).select(
+    cent_ids = np.arange(len(seeds), dtype=np.int64)
+    cent_mat = np.stack([np.asarray(r.embedding) for r in seeds]).astype(
+        np.float64
+    )
+    for _ in range(n_iters):
+        asg = _assign_cells(sample, cent_ids, cent_mat, n_probe=1)
+        # Elementwise mean per cell: posexplode → two-phase (map-side
+        # combinable) avg → re-pack. Bounded by the sample size.
+        newc = (
+            asg.select("cell", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("v"))
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, v))), x -> x.v)"
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        # Empty cells drop out (standard Lloyd); ids keep their labels.
+        newc.sort(key=lambda r: r.cell)
+        cent_ids = np.array([r.cell for r in newc], dtype=np.int64)
+        cent_mat = np.stack([np.asarray(r.cvec) for r in newc]).astype(
+            np.float64
+        )
+    return cent_ids, cent_mat
+
+
+def build_ivf_index(spark, emb: DataFrame, path: str, **kw) -> None:
+    """Persist the trained centroid table (the IVF index) as parquet —
+    the operational analog of the reference's persisted LanceDB index
+    (lancer.py:203-216)."""
+    cent_ids, cent_mat = train_ivf_centroids(emb, **kw)
+    rows = [
+        (int(i), [float(x) for x in v]) for i, v in zip(cent_ids, cent_mat)
+    ]
+    spark.createDataFrame(
+        rows, "centroid_id bigint, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_index(spark, path: str):
+    """(centroid_ids, centroid_matrix) from a persisted index."""
+    np = _np()
+    rows = spark.read.parquet(path).orderBy("centroid_id").collect()
+    ids = np.array([r.centroid_id for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r.cvec) for r in rows]).astype(np.float64)
+    return ids, mat
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_probe: int = N_PROBE,
+    centroids=None,
+) -> DataFrame:
+    """Top-k cosine neighbors via the trained IVF index.
+
+    Plan: one Python stage assigns every vector its home cell AND its
+    n_probe probe cells (BLAS, zero shuffle) → block keys bound each
+    scoring group (c_salt splits cells above CELL_CAP candidates,
+    q_salt splits above QUERY_CAP queries — block matmul, so no pandas
+    group ever exceeds CAP×CAP work however skewed the cells) → ONE
+    shuffle on the block key into cogrouped BLAS scoring → global
+    window top-k. Recall < 1 by design; tests measure it against
+    cosine_topk.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(emb)
+    cent_ids, cent_mat = centroids
+    a = _assign_cells(emb, cent_ids, cent_mat, n_probe=n_probe).persist()
+    assign = a.where(F.col("crank") == 1).select(
+        "vec_id", "embedding", "vnorm", "cell"
+    )
+    probes = a.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
         F.col("vnorm").alias("qnorm"),
-        F.col("centroid_id").alias("cell"),
+        "cell",
     )
-    # Per-cell BLAS scoring: cogroup (queries, candidates) by cell and
-    # matmul inside applyInPandas — C-speed dot products with ONE
-    # shuffle on cell id, instead of per-pair interpreted array folds.
-    # Each function call sees one cell (~n/N_CENTROIDS vectors); at
-    # 10^12 scale cells are bounded by the centroid count chosen at
-    # index build, exactly like IVF posting lists.
-    import numpy as np
-    import pandas as pd
+    # Block-size bookkeeping: C rows per side — broadcast both ways.
+    csizes = assign.groupBy("cell").agg(
+        F.ceil(F.count("*") / CELL_CAP).cast("int").alias("c_salts")
+    )
+    qsizes = probes.groupBy("cell").agg(
+        F.ceil(F.count("*") / QUERY_CAP).cast("int").alias("q_salts")
+    )
+    # The size table is ≤C rows (index metadata, same order as the
+    # centroid table itself) — materialize it driver-side and rebuild
+    # with fresh lineage: avoids self-join ambiguity AND keeps the
+    # block-count computation a skew-immune partial agg.
+    size_rows = csizes.join(qsizes, "cell").collect()
+    sizes = emb.sparkSession.createDataFrame(
+        [(int(r.cell), int(r.c_salts), int(r.q_salts)) for r in size_rows],
+        "sz_cell bigint, sz_c_salts int, sz_q_salts int",
+    )
+    # distinct block-key names per side: both branches share `a`'s
+    # lineage, and identically-named keys trip the ambiguous-self-join
+    # analyzer check inside the cogroup
+    cand = (
+        assign.join(F.broadcast(sizes), F.col("cell") == F.col("sz_cell"))
+        .withColumn("c_salt", F.pmod(F.col("vec_id"), F.col("sz_c_salts")))
+        .withColumn("q_salt", F.explode(F.expr("sequence(0, sz_q_salts - 1)")))
+        .select(
+            F.col("cell").alias("b_cell"),
+            F.col("c_salt").alias("b_c_salt"),
+            F.col("q_salt").alias("b_q_salt"),
+            "vec_id", "embedding", "vnorm",
+        )
+    )
+    qry = (
+        probes.join(F.broadcast(sizes), F.col("cell") == F.col("sz_cell"))
+        .withColumn("q_salt", F.pmod(F.col("query_id"), F.col("sz_q_salts")))
+        .withColumn("c_salt", F.explode(F.expr("sequence(0, sz_c_salts - 1)")))
+        .select(
+            F.col("cell").alias("g_cell"),
+            F.col("c_salt").alias("g_c_salt"),
+            F.col("q_salt").alias("g_q_salt"),
+            "query_id", "qvec", "qnorm",
+        )
+    )
+    np = _np()
 
-    def per_cell(pq: pd.DataFrame, pa: pd.DataFrame) -> pd.DataFrame:
+    def per_block(pq, pa):
+        import pandas as pd
+
         if len(pq) == 0 or len(pa) == 0:
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "cosine": []}
-            ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
+            ).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+            )
         Q = np.stack(pq["qvec"].to_numpy()).astype(np.float64)
         A = np.stack(pa["embedding"].to_numpy()).astype(np.float64)
         cos = (Q @ A.T) / np.outer(
@@ -309,32 +517,27 @@ def ivf_topk(emb: DataFrame, k: int = 3, n_probe: int = N_PROBE) -> DataFrame:
         )
         qids = pq["query_id"].to_numpy()
         nids = pa["vec_id"].to_numpy()
-        out_q, out_n, out_c = [], [], []
-        kk = min(k, cos.shape[1])
-        for i in range(cos.shape[0]):
-            row = cos[i]
-            # mask self-pairs, take top-k within the cell (global rank
-            # happens afterwards in the window)
-            order = np.lexsort((nids, -row))
-            taken = 0
-            for j in order:
-                if nids[j] == qids[i]:
-                    continue
-                out_q.append(int(qids[i]))
-                out_n.append(int(nids[j]))
-                out_c.append(float(row[j]))
-                taken += 1
-                if taken >= kk:
-                    break
+        # mask self-pairs; per-row top-k with (cosine desc, id asc)
+        # tie-break — vectorized lexsort along the last axis, then the
+        # global window over merged blocks fixes final ranks.
+        cosm = np.where(nids[None, :] == qids[:, None], -np.inf, cos)
+        kk = min(k, cosm.shape[1])
+        order = np.lexsort((np.broadcast_to(nids, cosm.shape), -cosm))[:, :kk]
+        vals = np.take_along_axis(cosm, order, axis=1).ravel()
+        keep = np.isfinite(vals)
         return pd.DataFrame(
-            {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            {
+                "query_id": np.repeat(qids, kk)[keep],
+                "neighbor_id": nids[order.ravel()][keep],
+                "cosine": vals[keep],
+            }
         )
 
     pairs = (
-        probes.groupBy("cell")
-        .cogroup(assign.groupBy("cell"))
+        qry.groupBy("g_cell", "g_c_salt", "g_q_salt")
+        .cogroup(cand.groupBy("b_cell", "b_c_salt", "b_q_salt"))
         .applyInPandas(
-            per_cell, "query_id bigint, neighbor_id bigint, cosine double"
+            per_block, "query_id bigint, neighbor_id bigint, cosine double"
         )
     )
     wq = Window.partitionBy("query_id").orderBy(
@@ -350,35 +553,87 @@ def ivf_topk(emb: DataFrame, k: int = 3, n_probe: int = N_PROBE) -> DataFrame:
 
 
 def ivf_topk_oracle_sql(
-    d: str, k: int = 3, n_probe: int = N_PROBE, table: str = "embeddings"
+    d: str,
+    k: int = 3,
+    n_probe: int = N_PROBE,
+    n_iters: int = N_ITERS,
+    sample_cap: int = SAMPLE_CAP,
+    table: str = "embeddings",
 ) -> str:
-    dotc = _dot("e.embedding", "c.cvec", d)
-    nrm_e = _norm("embedding", d)
-    nrm_c = _norm("cvec", d)
-    dotq = _dot("p.qvec", "a.embedding", d)
-    return f"""
-WITH cents0 AS (
-  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS centroid_id,
-         embedding AS cvec
-  FROM (SELECT * FROM {table} ORDER BY vec_id ASC LIMIT {N_CENTROIDS})
+    """Relational re-derivation of the ENTIRE trained index + search:
+    same md5 sampling, same seeds, same Lloyd iterations, same probe
+    semantics — C and the sample modulus computed from count(*) inside
+    the SQL, so one string is valid at any scale factor."""
+    md5v = H.md5_i64("CAST(vec_id AS VARCHAR)", d)
+    seed_key = H.md5_i64("'seed:' || CAST(vec_id AS VARCHAR)", d)
+    to_dbl = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    dot_sc = _dot("s.emb", "c.cvec", d)
+    nrm_s = _norm("s.emb", d)
+    nrm_c = _norm("c.cvec", d)
+
+    iters = []
+    for i in range(n_iters):
+        iters.append(
+            f"""asg_{i} AS (
+  SELECT vec_id, emb, centroid_id FROM (
+    SELECT s.vec_id, s.emb, c.centroid_id,
+           row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             ({dot_sc}) / (({nrm_s}) * ({nrm_c})) DESC, c.centroid_id ASC) AS rn
+    FROM samp s CROSS JOIN cents_{i} c
+  ) WHERE rn = 1
 ),
-cents AS (SELECT centroid_id, cvec, ({nrm_c}) AS cnorm FROM cents0),
-en AS (SELECT vec_id, embedding, ({nrm_e}) AS vnorm FROM {table}),
+cents_{i + 1} AS (
+  SELECT centroid_id, list(v ORDER BY dim) AS cvec
+  FROM (
+    SELECT centroid_id, dim, avg(val) AS v
+    FROM (SELECT centroid_id, generate_subscripts(emb, 1) AS dim,
+                 unnest(emb) AS val
+          FROM asg_{i})
+    GROUP BY centroid_id, dim
+  ) GROUP BY centroid_id
+)"""
+        )
+    iter_sql = ",\n".join(iters)
+    cents_final = f"cents_{n_iters}"
+    dot_ec = _dot("e.emb", "c.cvec", d)
+    nrm_e = _norm("e.emb", d)
+    dot_q = _dot("p.qvec", "a.emb", d)
+    return f"""
+WITH params AS (
+  SELECT CAST(greatest(floor(sqrt(count(*))), 1) AS BIGINT) AS c,
+         CAST(greatest(CAST(count(*) AS BIGINT) // {sample_cap}, 1) AS BIGINT) AS m
+  FROM {table}
+),
+samp AS (
+  SELECT vec_id, {to_dbl} AS emb
+  FROM {table}
+  WHERE ({md5v}) % (SELECT m FROM params) = 0
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY ({seed_key}) ASC, vec_id ASC) AS rn, emb
+  FROM samp
+),
+cents_0 AS (
+  SELECT CAST(rn - 1 AS BIGINT) AS centroid_id, emb AS cvec
+  FROM seeds WHERE rn <= (SELECT c FROM params)
+),
+{iter_sql},
+en AS (SELECT vec_id, {to_dbl} AS emb FROM {table}),
 scored AS (
-  SELECT e.vec_id, e.embedding, e.vnorm, c.centroid_id,
-         ({dotc}) / (e.vnorm * c.cnorm) AS ccos
-  FROM en e CROSS JOIN cents c
+  SELECT e.vec_id, e.emb, ({nrm_e}) AS vnorm, c.centroid_id,
+         ({dot_ec}) / (({nrm_e}) * ({nrm_c})) AS ccos
+  FROM en e CROSS JOIN {cents_final} c
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) AS crank
   FROM scored
 ),
-assign AS (SELECT vec_id, embedding, vnorm, centroid_id AS cell FROM ranked WHERE crank = 1),
-probes AS (SELECT vec_id AS query_id, embedding AS qvec, vnorm AS qnorm, centroid_id AS cell
+assign AS (SELECT vec_id, emb, vnorm, centroid_id AS cell FROM ranked WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, emb AS qvec, vnorm AS qnorm, centroid_id AS cell
            FROM ranked WHERE crank <= {n_probe}),
 pairs AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
-         ({dotq}) / (p.qnorm * a.vnorm) AS cosine
+         ({dot_q}) / (p.qnorm * a.vnorm) AS cosine
   FROM probes p JOIN assign a ON p.cell = a.cell AND p.query_id <> a.vec_id
 ),
 rankedq AS (

@@ -36,6 +36,13 @@ def _norm_cell(v):
         return str(int(v))
     if isinstance(v, bytes):
         return v.hex()
+    # pandas fetch turns DuckDB DATE into a midnight Timestamp while Spark
+    # collect yields datetime.date — render both as midnight datetimes
+    # (the driver's canonicalizer treats them as equal).
+    import datetime as _dt
+
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return f"{v.isoformat()} 00:00:00"
     if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     return str(v)
