@@ -192,3 +192,108 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.groupBy(F.md5(text_col).alias("text_hash")).agg(
         F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster resolution: verified near-dup pairs → one keeper per
+# connected duplicate cluster. The step an actual 100-TB dedup pass
+# needs after lsh_pairs: transitive closure (A~B, B~C → {A,B,C} keep
+# min id), not just a pair list.
+# ---------------------------------------------------------------------------
+
+DEFAULT_JACCARD = 0.8
+
+
+def resolve_clusters(
+    pairs: DataFrame, nodes: DataFrame, max_iters: int = 12
+) -> DataFrame:
+    """(doc_id, keeper_doc_id): connected components over the pair
+    graph by iterative min-label propagation with pointer jumping.
+
+    Each round does (a) neighbor-min — every node adopts the smallest
+    label among itself and its neighbors — and (b) path compression —
+    label(x) := label(label(x)) — so convergence is O(log diameter)
+    rounds, not O(diameter); dedup clusters are shallow, so this
+    terminates in 2-3 rounds in practice. Per round: one shuffle of the
+    (tiny, two-id) edge relation and one of the label relation;
+    localCheckpoint truncates lineage so plans stay flat. The
+    convergence check is a count() per round — a scalar action, the
+    standard iterative-algorithm driver loop (not a data collect).
+    """
+    edges = pairs.select(
+        F.col("doc_a").cast("long").alias("src"),
+        F.col("doc_b").cast("long").alias("dst"),
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("doc_id").cast("long").alias("label"),
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        # (a) neighbor-min
+        prop = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        stepped = (
+            labels.join(prop, labels.doc_id == prop.dst, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # (b) pointer jumping: label := label(label)
+        parent = stepped.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            stepped.join(parent, stepped.label == parent.p_id, "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("keeper_doc_id"))
+
+
+def resolve_clusters_oracle_sql(
+    d: str, threshold: float = DEFAULT_JACCARD
+) -> str:
+    """DuckDB recursive-CTE re-derivation: the transitive closure is
+    algorithm-independent (component min), so the oracle enumerates
+    reachability instead of mirroring the propagation schedule."""
+    corpus = corpus_with_near_dups_sql(d)
+    lsh = lsh_pairs_oracle_sql(d)
+    return f"""
+WITH RECURSIVE corpus AS ({corpus}),
+pairs AS (
+  SELECT doc_a, doc_b FROM ({lsh}) WHERE jaccard >= {threshold}
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN sym e ON e.src = r.id
+)
+SELECT id AS doc_id, min(label) AS keeper_doc_id
+FROM reach GROUP BY id
+""".strip()

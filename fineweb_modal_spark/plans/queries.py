@@ -411,6 +411,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_pairs(corpus)
 
 
+@register("dedup_clusters", dedup.resolve_clusters_oracle_sql(D))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution after LSH: connected components over the
+    verified pair graph (jaccard ≥ 0.8), min-id keeper per duplicate
+    cluster — the step that turns a pair list into an actual dedup
+    pass. Spark side: iterative min-label propagation + pointer
+    jumping; oracle: recursive-CTE reachability (same closure)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    corpus = spark.sql(dedup.corpus_with_near_dups_sql(sd.SPARK))
+    pairs = dedup.lsh_pairs(corpus).where(
+        F.col("jaccard") >= dedup.DEFAULT_JACCARD
+    )
+    return dedup.resolve_clusters(pairs, corpus.select("doc_id"))
+
+
 @register("dedup_simhash", H.simhash_select(D))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per doc: explode + bit-majority (partial agg)."""

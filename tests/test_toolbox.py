@@ -213,3 +213,27 @@ def test_lsh_plane_weights_match_sql_derivation(spark):
     assert len(rows) == similarity.N_PLANES * 64
     for r in rows:
         assert ws[r.p][r.dim - 1] == float(r.s), (r.p, r.dim)
+
+
+def test_cluster_resolution_collapses_near_dups(spark, corpus):
+    """Every planted tail-mutated copy must resolve to the SAME keeper
+    as its source (transitive closure, min-id keeper), and keepers are
+    component minima (keeper <= doc_id, keeper maps to itself)."""
+    pairs = dedup.lsh_pairs(corpus).where(
+        F.col("jaccard") >= dedup.DEFAULT_JACCARD
+    )
+    res = dedup.resolve_clusters(pairs, corpus.select("doc_id")).collect()
+    keeper = {r.doc_id: r.keeper_doc_id for r in res}
+    assert len(keeper) == corpus.count()
+    planted = [d for d in keeper if d >= 1000000]
+    assert planted
+    # resolution guarantee: every VERIFIED pair is collapsed
+    for r in pairs.collect():
+        assert keeper[r.doc_a] == keeper[r.doc_b], (r.doc_a, r.doc_b)
+    # end-to-end: ≥90% of planted copies collapse onto their source
+    # (bounded by LSH recall + the jaccard threshold, not by resolution)
+    hits = sum(1 for d in planted if keeper[d] == keeper[d - 1000000])
+    assert hits / len(planted) >= 0.9
+    for d, k in keeper.items():
+        assert k <= d
+        assert keeper[k] == k  # keepers are fixed points
