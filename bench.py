@@ -80,6 +80,30 @@ def _warmup(spark) -> None:
     _force(pl.run_pipeline(spark, "/root/testdata/sf0.001"))
 
 
+SCALING_JSON = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "SCALING.json"
+)
+
+_SCALING_KEYS = (
+    "value", "lo_cores", "hi_cores", "runs", "speedup",
+    "control_efficiency", "relative_to_control", "work_conservation",
+    "measured_at",
+)
+
+
+def _latest_scaling() -> dict | None:
+    """Most recent `--scaling` measurement (committed SCALING.json) —
+    embedded in the default bench line so the N-vs-4N pair is
+    machine-diffable round over round without re-paying the multi-
+    minute interleaved measurement inside every bench run."""
+    try:
+        with open(SCALING_JSON) as f:
+            full = json.load(f)
+    except (OSError, ValueError):
+        return None
+    return {k: full[k] for k in _SCALING_KEYS if k in full}
+
+
 def bench(sf_dir: str) -> dict:
     spark = get_spark(app_name="bench")
     _warmup(spark)
@@ -95,10 +119,10 @@ def bench(sf_dir: str) -> dict:
         "sf": sf_dir,
         "n_docs": n_docs,
         "pipeline_docs_per_sec": docs_per_sec,
+        "scaling": _latest_scaling(),
         "scaling_ref": (
-            "run `python bench.py --scaling`; methodology + measured "
-            "N-vs-4N results in BASELINE.md (best window 0.826 wall-clock "
-            "at 1->4 cores, work conservation ~1.0)"
+            "embedded `scaling` = latest `python bench.py --scaling` run "
+            "(SCALING.json); methodology in BASELINE.md"
         ),
     }
 
@@ -258,6 +282,12 @@ def scaling(
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
-        print(json.dumps(scaling(sf_dir)))
+        out = scaling(sf_dir)
+        out["measured_at"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+        )
+        with open(SCALING_JSON, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out))
     else:
         print(json.dumps(bench(sf_dir)))

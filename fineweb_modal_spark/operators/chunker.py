@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -30,7 +31,12 @@ from pyspark.sql.types import (
 from ..spec import tokenizer as tok
 
 
-def chunk_output_schema(input_schema: StructType, id_col: str, keep_cols: Iterable[str]) -> StructType:
+def chunk_output_schema(
+    input_schema: StructType,
+    id_col: str,
+    keep_cols: Iterable[str],
+    emit_ids: bool = False,
+) -> StructType:
     fields = [input_schema[id_col]]
     fields += [input_schema[c] for c in keep_cols]
     fields += [
@@ -39,6 +45,12 @@ def chunk_output_schema(input_schema: StructType, id_col: str, keep_cols: Iterab
         StructField("chunk_tokens", ArrayType(StringType()), True),
         StructField("chunk_token_count", IntegerType(), False),
     ]
+    if emit_ids:
+        # the reference's actual chunk_tokens shape: array<long> input
+        # ids (chunker.py:90) — here the hermetic md5-vocab ids
+        fields.append(
+            StructField("chunk_token_ids", ArrayType(LongType()), True)
+        )
     return StructType(fields)
 
 
@@ -47,14 +59,17 @@ def chunk_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_cols: Iterable[str] = (),
+    emit_ids: bool = False,
 ) -> DataFrame:
     """1 document row → N chunk rows, Arrow-batched.
 
     keep_cols mirror the reference's KEEP_KEYS passthrough
-    (chunker.py:17+92-93).
+    (chunker.py:17+92-93). emit_ids=True additionally emits
+    chunk_token_ids: array<long> — the reference's input-id schema
+    (chunker.py:90) under the hermetic md5-vocab tokenizer.
     """
     keep_cols = tuple(keep_cols)
-    schema = chunk_output_schema(df.schema, id_col, keep_cols)
+    schema = chunk_output_schema(df.schema, id_col, keep_cols, emit_ids)
     cols = [id_col, *keep_cols, text_col]
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -63,6 +78,8 @@ def chunk_documents(
             out.update(
                 chunk_index=[], chunk_text=[], chunk_tokens=[], chunk_token_count=[]
             )
+            if emit_ids:
+                out["chunk_token_ids"] = []
             texts = pdf[text_col].tolist()
             for row_i, text in enumerate(texts):
                 for ch in tok.chunk_text(text if text is not None else ""):
@@ -73,6 +90,10 @@ def chunk_documents(
                     out["chunk_text"].append(ch["chunk_text"])
                     out["chunk_tokens"].append(ch["chunk_tokens"])
                     out["chunk_token_count"].append(ch["chunk_token_count"])
+                    if emit_ids:
+                        out["chunk_token_ids"].append(
+                            tok.token_ids(ch["chunk_tokens"])
+                        )
             yield pd.DataFrame(out)
 
     return df.select(*cols).mapInPandas(emit, schema=schema)

@@ -29,7 +29,14 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # File count from the scan's FileIndex — unlike df.rdd.getNumPartitions()
+    # this never compiles the plan to an RDD on the driver. Non-file
+    # relations report no files; leave those alone (no signal → no shuffle).
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

@@ -392,6 +392,60 @@ def q_chunk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..operators import binpack, dedup, multimodal, similarity, textstats  # noqa: E402
 from ..spec import hashing as H  # noqa: E402
+from ..spec import tokenizer as tokspec  # noqa: E402
+
+# Int-ID chunker mode: the oracle re-derives the hermetic md5-vocab ids
+# AND the reference's window spans (chunker.py:77-95 incl. tail drop)
+# relationally, then compares per-chunk id sums.
+_TOKEN_IDS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter({sd.ws_tokens("repeat(text || ' ', 20)", D)}, t -> t <> '') AS toks
+  FROM documents
+),
+nn AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+sel AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, CAST(n AS BIGINT) - 1, {tokspec.STRIDE})) AS s
+  FROM nn WHERE n > {tokspec.MAX_TOKENS}
+),
+spans AS (
+  SELECT doc_id, toks,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT) AS chunk_index,
+         s, least(s + {tokspec.MAX_TOKENS}, n) AS e
+  FROM sel WHERE least(s + {tokspec.MAX_TOKENS}, n) - s >= {tokspec.OVERLAP}
+  UNION ALL
+  SELECT doc_id, toks, 0, 0, n FROM nn WHERE n <= {tokspec.MAX_TOKENS}
+)
+SELECT doc_id, chunk_index,
+       CAST(e - s AS INT) AS chunk_token_count,
+       CAST(coalesce(list_sum(list_transform(
+           toks[CAST(s + 1 AS BIGINT):CAST(e AS BIGINT)],
+           t -> ({H.md5_i64("t", sd.DUCKDB)}) % {tokspec.VOCAB_SIZE})), 0) AS BIGINT) AS ids_sum
+FROM spans
+"""
+
+
+@register("chunk_token_ids", _TOKEN_IDS_ORACLE)
+def q_chunk_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2 int-ID mode: the chunker emitting chunk_token_ids
+    (array<long> — the reference's input-id schema, chunker.py:90)
+    under the hermetic md5-vocab tokenizer; gate compares per-chunk
+    id sums against the relational re-derivation."""
+    from ..operators.chunker import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.repeat(F.concat("text", F.lit(" ")), 20).alias("text")
+    )
+    chunks = chunk_documents(docs, id_col="doc_id", emit_ids=True)
+    return chunks.select(
+        "doc_id",
+        "chunk_index",
+        "chunk_token_count",
+        F.expr(
+            "aggregate(chunk_token_ids, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("ids_sum"),
+    )
 
 
 @register("minhash_signatures", H.minhash_signatures_select(D))

@@ -35,6 +35,14 @@ from pyspark.sql import functions as F
 N_SALTS = 16
 MANIFEST_DIR = "_manifest"
 
+# When set (e.g. spark.conf.set(ICEBERG_TABLE_CONF, "cat.db.docs")), the
+# partition write goes through Iceberg's `writeTo(...).overwritePartitions()`
+# — a real snapshot commit — instead of the parquet-directory overwrite.
+# The table must exist and be partitioned by ds. Offline (no Iceberg
+# catalog/jars) the branch degrades gracefully to the parquet path; the
+# manifest row records which sink actually committed.
+ICEBERG_TABLE_CONF = "spark.fineweb.iceberg.table"
+
 
 def with_partition_cols(
     df: DataFrame,
@@ -94,14 +102,33 @@ def write_partition(
         F.sum(F.length("scrubbed_text").cast("long")).alias("out_chars"),
     )
     t0 = time.monotonic()
-    (
-        observed.repartition(F.col("salt"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, f"ds={ds}"))
-    )
+    sink = "parquet"
+    tbl = spark.conf.get(ICEBERG_TABLE_CONF, None)
+    if tbl:
+        from pyspark.errors import AnalysisException
+
+        try:
+            # Analysis failures (catalog/jars/table absent) surface before
+            # any job runs, so the Observation is untouched and the parquet
+            # fallback below is safe. A mid-write RUNTIME failure must
+            # propagate — masking it with a parquet retry would hide a
+            # half-committed snapshot.
+            observed.repartition(F.col("salt")).writeTo(
+                tbl
+            ).overwritePartitions()
+            sink = "iceberg"
+        except AnalysisException:
+            sink = "parquet"
+    if sink == "parquet":
+        (
+            observed.repartition(F.col("salt"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"ds={ds}"))
+        )
     m = obs.get
     row = {
         "ds": ds,
+        "sink": sink,
         "n_rows": int(m["n_rows"] or 0),
         "n_keep": int(m["n_keep"] or 0),
         "out_chars": int(m["out_chars"] or 0),

@@ -36,6 +36,24 @@ def detokenize(tokens: list[str]) -> str:
     return " ".join(tokens)
 
 
+# Hermetic int-ID mode: the reference emits chunk_tokens as HF
+# input_ids (array<long>, chunker.py:90, bert-base-uncased). Offline
+# stand-in: 60-bit md5 of the token modulo the bert vocab size —
+# deterministic, collision-shaped like a real vocab, and re-derivable
+# in SQL via spec/hashing.md5_i64 so oracles can cross-check.
+VOCAB_SIZE = 30522  # bert-base-uncased vocab size
+
+
+def token_id(token: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(token.encode()).hexdigest()[:15], 16) % VOCAB_SIZE
+
+
+def token_ids(tokens: list[str]) -> list[int]:
+    return [token_id(t) for t in tokens]
+
+
 def chunk_tokens(n_tokens: int) -> list[tuple[int, int]]:
     """Return [(start, end)) windows per the reference semantics.
 

@@ -122,3 +122,21 @@ def test_time_travel_read(spark, tmp_path):
     assert {r.ds for r in got.select("ds").distinct().collect()} == expected_ds
     # full read sees strictly more partitions than the snapshot
     assert len(expected_ds) < len(man)
+
+
+def test_iceberg_branch_falls_back_gracefully_offline(spark, tmp_path):
+    """With spark.fineweb.iceberg.table set but no Iceberg catalog
+    configured (this container), write_partition must degrade to the
+    parquet+manifest path, record sink='parquet', and produce
+    identical output to an unconfigured run."""
+    out = str(tmp_path / "out_ice")
+    spark.conf.set(sinks.ICEBERG_TABLE_CONF, "nosuchcat.db.docs")
+    try:
+        sinks.resume_run(spark, _build, out)
+    finally:
+        spark.conf.unset(sinks.ICEBERG_TABLE_CONF)
+    man = sinks.read_manifest(spark, out).collect()
+    assert man and all(r.sink == "parquet" for r in man)
+    got = sinks.read_output(spark, out)
+    want = _build(spark)
+    assert got.count() == want.count()
