@@ -433,6 +433,8 @@ def ivf_topk(
     k: int = 3,
     n_probe: int = N_PROBE,
     centroids=None,
+    cell_cap: int = CELL_CAP,
+    query_cap: int = QUERY_CAP,
 ) -> DataFrame:
     """Top-k cosine neighbors via the trained IVF index.
 
@@ -460,45 +462,64 @@ def ivf_topk(
     )
     # Block-size bookkeeping: C rows per side — broadcast both ways.
     csizes = assign.groupBy("cell").agg(
-        F.ceil(F.count("*") / CELL_CAP).cast("int").alias("c_salts")
+        F.ceil(F.count("*") / cell_cap).cast("int").alias("c_salts")
     )
     qsizes = probes.groupBy("cell").agg(
-        F.ceil(F.count("*") / QUERY_CAP).cast("int").alias("q_salts")
+        F.ceil(F.count("*") / query_cap).cast("int").alias("q_salts")
     )
     # The size table is ≤C rows (index metadata, same order as the
     # centroid table itself) — materialize it driver-side and rebuild
     # with fresh lineage: avoids self-join ambiguity AND keeps the
     # block-count computation a skew-immune partial agg.
     size_rows = csizes.join(qsizes, "cell").collect()
-    sizes = emb.sparkSession.createDataFrame(
-        [(int(r.cell), int(r.c_salts), int(r.q_salts)) for r in size_rows],
-        "sz_cell bigint, sz_c_salts int, sz_q_salts int",
-    )
-    # distinct block-key names per side: both branches share `a`'s
-    # lineage, and identically-named keys trip the ambiguous-self-join
-    # analyzer check inside the cogroup
-    cand = (
-        assign.join(F.broadcast(sizes), F.col("cell") == F.col("sz_cell"))
-        .withColumn("c_salt", F.pmod(F.col("vec_id"), F.col("sz_c_salts")))
-        .withColumn("q_salt", F.explode(F.expr("sequence(0, sz_q_salts - 1)")))
-        .select(
+    salted = any(r.c_salts > 1 or r.q_salts > 1 for r in size_rows)
+    if salted:
+        sizes = emb.sparkSession.createDataFrame(
+            [(int(r.cell), int(r.c_salts), int(r.q_salts)) for r in size_rows],
+            "sz_cell bigint, sz_c_salts int, sz_q_salts int",
+        )
+        # distinct block-key names per side: both branches share `a`'s
+        # lineage, and identically-named keys trip the ambiguous-self-join
+        # analyzer check inside the cogroup
+        cand = (
+            assign.join(F.broadcast(sizes), F.col("cell") == F.col("sz_cell"))
+            .withColumn("c_salt", F.pmod(F.col("vec_id"), F.col("sz_c_salts")))
+            .withColumn("q_salt", F.explode(F.expr("sequence(0, sz_q_salts - 1)")))
+            .select(
+                F.col("cell").alias("b_cell"),
+                F.col("c_salt").alias("b_c_salt"),
+                F.col("q_salt").alias("b_q_salt"),
+                "vec_id", "embedding", "vnorm",
+            )
+        )
+        qry = (
+            probes.join(F.broadcast(sizes), F.col("cell") == F.col("sz_cell"))
+            .withColumn("q_salt", F.pmod(F.col("query_id"), F.col("sz_q_salts")))
+            .withColumn("c_salt", F.explode(F.expr("sequence(0, sz_c_salts - 1)")))
+            .select(
+                F.col("cell").alias("g_cell"),
+                F.col("c_salt").alias("g_c_salt"),
+                F.col("q_salt").alias("g_q_salt"),
+                "query_id", "qvec", "qnorm",
+            )
+        )
+    else:
+        # AQE-style data-dependent plan choice: every cell fits one
+        # block, so skip the salting joins/explodes — one cogroup on
+        # the bare cell id. Same result set (single-block top-k ==
+        # blocked top-k after the global window).
+        cand = assign.select(
             F.col("cell").alias("b_cell"),
-            F.col("c_salt").alias("b_c_salt"),
-            F.col("q_salt").alias("b_q_salt"),
+            F.lit(0).alias("b_c_salt"),
+            F.lit(0).alias("b_q_salt"),
             "vec_id", "embedding", "vnorm",
         )
-    )
-    qry = (
-        probes.join(F.broadcast(sizes), F.col("cell") == F.col("sz_cell"))
-        .withColumn("q_salt", F.pmod(F.col("query_id"), F.col("sz_q_salts")))
-        .withColumn("c_salt", F.explode(F.expr("sequence(0, sz_c_salts - 1)")))
-        .select(
+        qry = probes.select(
             F.col("cell").alias("g_cell"),
-            F.col("c_salt").alias("g_c_salt"),
-            F.col("q_salt").alias("g_q_salt"),
+            F.lit(0).alias("g_c_salt"),
+            F.lit(0).alias("g_q_salt"),
             "query_id", "qvec", "qnorm",
         )
-    )
     np = _np()
 
     def per_block(pq, pa):

@@ -237,3 +237,17 @@ def test_cluster_resolution_collapses_near_dups(spark, corpus):
     for d, k in keeper.items():
         assert k <= d
         assert keeper[k] == k  # keepers are fixed points
+
+
+def test_ivf_blocked_scoring_matches_unsalted(spark):
+    """Force tiny block caps so every cell splits into several
+    c_salt×q_salt blocks; blocked BLAS scoring + global window must
+    return exactly the single-block result (block top-k merge is
+    lossless)."""
+    emb = load_table(spark, SF, "embeddings")
+    cents = similarity.train_ivf_centroids(emb)
+    plain = similarity.ivf_topk(emb, k=3, centroids=cents).collect()
+    blocked = similarity.ivf_topk(
+        emb, k=3, centroids=cents, cell_cap=7, query_cap=11
+    ).collect()
+    assert sorted(map(tuple, blocked)) == sorted(map(tuple, plain))
