@@ -465,6 +465,37 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_pairs(corpus)
 
 
+from ..operators import gopher  # noqa: E402
+
+_GOPHER_RATIOS = [
+    "alpha_word_ratio", "bullet_line_ratio", "ellipsis_line_ratio",
+    "dup_line_ratio", "top_bigram_frac", "symbol_word_ratio",
+]
+
+
+@register("gopher_signals", gopher.signals_sql(D))
+def q_gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/FineWeb repetition & structure signals (the second half
+    of the web-text filtering battery): line-structure ratios +
+    top-bigram repetition — all row-local array folds, zero shuffle,
+    pure codegen (spec/gopher_rules.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = gopher.with_gopher_signals(docs)
+    return s.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        *[F.round(c, 6).alias(c) for c in _GOPHER_RATIOS],
+    )
+
+
+@register("gopher_keep", gopher.keep_sql(D))
+def q_gopher_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-failing-rule keep/drop over the gopher signal battery."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = gopher.with_gopher_keep(gopher.with_gopher_signals(docs))
+    return k.select("doc_id", "keep", "drop_reason")
+
+
 @register("dedup_clusters", dedup.resolve_clusters_oracle_sql(D))
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster resolution after LSH: connected components over the

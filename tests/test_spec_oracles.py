@@ -171,3 +171,81 @@ def test_quality_sql_renderings_null_text(spark):
         assert got_duck[i] == want, (i, got_duck[i], want)
         assert got_spark_sql[i] == want, (i, got_spark_sql[i], want)
     assert got_spark[0] == (False, "too_few_words")
+
+
+GOPHER_TEXTS = [
+    "",                                          # empty
+    "   \n  \n ",                                # blank lines only
+    "plain prose line one\nplain prose line two\nanother distinct line",
+    "- item one\n- item two\n- item three\n- item four",          # bullets
+    "story begins...\nand continues…\nthen ends...",              # ellipses
+    "same line\nsame line\nsame line\nunique line",               # dup lines
+    "buy now buy now buy now buy now buy now",                    # bigram rep
+    "see # one and # two plus # three markers here now",          # symbols
+    "12345 67890 11111 22222 33333 44444",                        # no alpha
+    "one two\nthree four…\n- five six ...",                       # mixed
+    None,                                                         # NULL text
+]
+
+
+def test_gopher_three_renderings_match_python_spec(spark):
+    """Spark operator, Spark-SQL rendering, and DuckDB rendering of the
+    gopher signals + keep must all equal the pure-Python spec on texts
+    that exercise every rule (incl. NULL text)."""
+    import duckdb
+
+    from fineweb_modal_spark.functions import sqldialect as sd
+    from fineweb_modal_spark.operators import gopher
+    from fineweb_modal_spark.spec import gopher_rules as gr
+
+    rows = [(i, t) for i, t in enumerate(GOPHER_TEXTS)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigcols = ["n_lines", "alpha_word_ratio", "bullet_line_ratio",
+               "ellipsis_line_ratio", "dup_line_ratio", "top_bigram_frac",
+               "symbol_word_ratio"]
+
+    def check(got_sig, got_keep):
+        for i, t in rows:
+            want = gr.gopher_signals_py(t or "")
+            g = got_sig[i]
+            for c in sigcols:
+                assert g[c] == pytest.approx(want[c], abs=1e-9), (i, c, g[c], want[c])
+            assert got_keep[i] == gr.gopher_keep_py(t or ""), (i, got_keep[i])
+
+    # 1. Spark operator path
+    op = gopher.with_gopher_keep(gopher.with_gopher_signals(df))
+    check(
+        {r.doc_id: {c: r[c] for c in sigcols} for r in op.collect()},
+        {r.doc_id: (r.keep, r.drop_reason) for r in op.collect()},
+    )
+
+    # 2. Spark-SQL rendering
+    df.createOrReplaceTempView("t_gopher")
+    ssig = spark.sql(gopher.signals_sql(sd.SPARK, table="t_gopher", round_out=False))
+    skeep = spark.sql(gopher.keep_sql(sd.SPARK, table="t_gopher"))
+    check(
+        {r.doc_id: {c: r[c] for c in sigcols} for r in ssig.collect()},
+        {r.doc_id: (r.keep, r.drop_reason) for r in skeep.collect()},
+    )
+
+    # 3. DuckDB rendering
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    dsig = con.execute(
+        gopher.signals_sql(sd.DUCKDB, table="t", round_out=False)
+    ).fetchall()
+    dcols = [c[0] for c in con.execute(
+        gopher.signals_sql(sd.DUCKDB, table="t", round_out=False)
+    ).description]
+    dkeep = con.execute(gopher.keep_sql(sd.DUCKDB, table="t")).fetchall()
+    check(
+        {r[0]: dict(zip(dcols[1:], r[1:])) for r in dsig},
+        {r[0]: (bool(r[1]), r[2]) for r in dkeep},
+    )
+
+    # the crafted texts must actually trip every drop reason at least once
+    tripped = {gr.gopher_keep_py(t or "")[1] for _, t in rows}
+    for reason in gr.DROP_REASONS:
+        assert reason in tripped, reason
