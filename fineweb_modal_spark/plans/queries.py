@@ -465,7 +465,26 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_pairs(corpus)
 
 
-from ..operators import gopher  # noqa: E402
+from ..operators import gopher, urldedup  # noqa: E402
+
+
+@register(
+    "url_dedup",
+    urldedup.url_dedup_oracle_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (FineWeb's first pass): normalize scheme/www/
+    query/trailing-slash spellings, one keeper per normalized URL —
+    codegen per row + one hash-groupBy, over a corpus with planted
+    re-spelled copies."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    p.createOrReplaceTempView("pages_urls")
+    corpus = spark.sql(
+        urldedup.corpus_with_url_variants_sql(sd.SPARK, pages="pages_urls")
+    )
+    return urldedup.url_dedup(corpus)
 
 _GOPHER_RATIOS = [
     "alpha_word_ratio", "bullet_line_ratio", "ellipsis_line_ratio",

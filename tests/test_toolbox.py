@@ -251,3 +251,37 @@ def test_ivf_blocked_scoring_matches_unsalted(spark):
         emb, k=3, centroids=cents, cell_cap=7, query_cap=11
     ).collect()
     assert sorted(map(tuple, blocked)) == sorted(map(tuple, plain))
+
+
+def test_url_normalize_and_dedup(spark):
+    from fineweb_modal_spark.operators import urldedup
+
+    cases = {
+        "https://WWW.Example.com/Path/?utm=1#frag": "example.com/path",
+        "http://example.com/path/": "example.com/path",
+        "https://example.com/path": "example.com/path",
+        "example.com/path//": "example.com/path",
+        "https://sub.example.com": "sub.example.com",
+        "": "",
+    }
+    # python spec
+    for raw, want in cases.items():
+        assert urldedup.normalize_py(raw) == want, raw
+    # spark rendering equals python spec
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], "doc_id long, url string"
+    )
+    got = {r.url: r.norm_url for r in urldedup.with_norm_url(df).collect()}
+    for raw, want in cases.items():
+        assert got[raw] == want, raw
+    # planted variants collapse onto their source
+    rows = [(1, "https://h1.example.com/p/1"),
+            (2, "http://www.h1.example.com/p/1/?utm_source=x"),
+            (3, "https://h2.example.com/p/3")]
+    d = urldedup.url_dedup(
+        spark.createDataFrame(rows, "doc_id long, url string")
+    ).collect()
+    by_key = {r.norm_url: r for r in d}
+    assert by_key["h1.example.com/p/1"].n_copies == 2
+    assert by_key["h1.example.com/p/1"].keeper_doc_id == 1
+    assert by_key["h2.example.com/p/3"].n_copies == 1
