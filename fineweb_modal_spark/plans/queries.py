@@ -465,7 +465,42 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_pairs(corpus)
 
 
+from ..operators import asof as asof_op  # noqa: E402
 from ..operators import gopher, urldedup  # noqa: E402
+
+_ASOF_ORACLE = """
+WITH rates AS (
+  SELECT event_type, date_trunc('hour', ts) AS rate_ts,
+         round(avg(value), 6) AS rate
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type, r.rate
+FROM events e ASOF LEFT JOIN rates r
+  ON e.event_type = r.event_type AND e.ts >= r.rate_ts
+"""
+
+
+@register("events_asof_rates", _ASOF_ORACLE)
+def q_events_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks): each event picks the LATEST
+    hourly rate at-or-before its timestamp per event_type, via the
+    tagged-union + window-fill plan (ONE shuffle on the key, no
+    range-explode). The oracle is DuckDB's NATIVE ASOF JOIN — an
+    independent implementation of the semantics, including the
+    <=-tie (an event exactly on the hour takes that hour's rate)."""
+    ev = load_table(spark, sf_dir, "events")
+    rates = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("rate_ts")
+    ).agg(F.round(F.avg("value"), 6).alias("rate"))
+    joined = asof_op.asof_join(
+        ev.select("event_id", "event_type", "ts"),
+        rates,
+        key="event_type",
+        facts_ts="ts",
+        dim_ts="rate_ts",
+        value_cols=("rate",),
+    )
+    return joined.select("event_id", "event_type", "rate")
 
 
 @register(

@@ -285,3 +285,27 @@ def test_url_normalize_and_dedup(spark):
     assert by_key["h1.example.com/p/1"].n_copies == 2
     assert by_key["h1.example.com/p/1"].keeper_doc_id == 1
     assert by_key["h2.example.com/p/3"].n_copies == 1
+
+
+def test_asof_join_semantics(spark):
+    """<=-tie takes the dim row at the same instant; facts before any
+    dim version get NULL; later versions supersede earlier ones."""
+    from fineweb_modal_spark.operators import asof as asof_op
+
+    facts = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:30:00"), (2, 1, "2024-01-01 10:00:00"),
+         (3, 2, "2024-01-01 09:59:00"), (4, 1, "2024-01-01 08:00:00")],
+        "event_id long, k long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    dim = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 4.0), (1, "2024-01-01 10:00:00", 5.0),
+         (2, "2024-01-01 10:00:00", 7.0)],
+        "k long, rate_ts string, rate double",
+    ).withColumn("rate_ts", F.col("rate_ts").cast("timestamp"))
+    got = {
+        r.event_id: r.rate
+        for r in asof_op.asof_join(
+            facts, dim, key="k", facts_ts="ts", dim_ts="rate_ts"
+        ).collect()
+    }
+    assert got == {1: 5.0, 2: 5.0, 3: None, 4: None}
