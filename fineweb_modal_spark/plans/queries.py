@@ -550,6 +550,70 @@ def q_gopher_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k.select("doc_id", "keep", "drop_reason")
 
 
+_WEBTEXT_PIPELINE_ORACLE = f"""
+WITH pages AS ({{pages}}),
+q AS ({{q_keep}}),
+g AS ({{g_keep}})
+SELECT p.doc_id,
+       (q.keep AND g.keep) AS keep,
+       CASE WHEN NOT q.keep THEN q.drop_reason
+            WHEN NOT g.keep THEN g.drop_reason
+            ELSE NULL END AS drop_reason,
+       CASE WHEN q.keep AND g.keep THEN {{scrub}} ELSE NULL END AS scrubbed_text
+FROM pages p
+JOIN q ON q.doc_id = p.doc_id
+JOIN g ON g.doc_id = p.doc_id
+"""
+
+
+def _webtext_pipeline_oracle() -> str:
+    from ..operators import scrub as scrub_mod
+
+    return _WEBTEXT_PIPELINE_ORACLE.format(
+        pages=pages_mod.pages_select_sql(sd.DUCKDB, with_html=False),
+        q_keep=quality.keep_sql(sd.DUCKDB, table="pages", text_col="text"),
+        g_keep=gopher.keep_sql(sd.DUCKDB, table="pages", text_col="text"),
+        scrub=scrub_mod.scrub_sql("p.text", sd.DUCKDB),
+    ).strip()
+
+
+@register("webtext_filter_pipeline", _webtext_pipeline_oracle())
+def q_webtext_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH filter batteries composed end-to-end as ONE plan — token
+    stats (quality.py) then repetition/structure (gopher.py), first
+    battery's reason wins, PII scrub applied only to kept docs — all
+    codegen, zero shuffle, fully DuckDB-oracled (the ML-free core of
+    the north-rule pipeline; langid/ppl ride in pipeline_scored)."""
+    from ..operators import scrub as scrub_mod
+
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    qk = quality.with_keep(quality.with_signals(p)).select(
+        "doc_id",
+        "text",
+        F.col("keep").alias("q_keep"),
+        F.col("drop_reason").alias("q_reason"),
+    )
+    gk = gopher.with_gopher_keep(
+        gopher.with_gopher_signals(
+            qk, key_cols=("doc_id", "text", "q_keep", "q_reason")
+        )
+    )
+    keep = F.col("q_keep") & F.col("keep")
+    reason = (
+        F.when(~F.col("q_keep"), F.col("q_reason"))
+        .when(~F.col("keep"), F.col("drop_reason"))
+        .otherwise(F.lit(None))
+    )
+    return gk.select(
+        "doc_id",
+        keep.alias("keep"),
+        reason.alias("drop_reason"),
+        F.when(keep, scrub_mod.scrub_expr(F.coalesce("text", F.lit(""))))
+        .otherwise(F.lit(None))
+        .alias("scrubbed_text"),
+    )
+
+
 @register("dedup_clusters", dedup.resolve_clusters_oracle_sql(D))
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster resolution after LSH: connected components over the
