@@ -39,6 +39,9 @@ HEADLINE = [
     "sessionize",  # window lag + cumsum + agg
     "scrub_text",  # regex chain, whole-stage codegen
     "dedup_minhash_lsh",  # shuffle-light LSH banding + verify joins
+    "dedup_clusters",  # connected components over verified pairs
+    "webtext_filter_pipeline",  # quality ∧ gopher ∧ scrub, pure codegen
+    "url_dedup",  # normalize + hash-groupBy (FineWeb first pass)
     "ivf_build",  # index build: sampled k-means training (offline step)
     "ivf_topk",  # index-backed query: BLAS assign + blocked scoring + window
 ]

@@ -95,22 +95,39 @@ def bigrams_expr(toks: str, d: str) -> str:
     return f"CASE WHEN {n} < 2 THEN {_empty_str_arr(d)} ELSE {body} END"
 
 
-def max_run_expr(bg: str, d: str) -> str:
-    """Longest run in the (sorted) bigram array — the top-bigram count.
+def run_starts_expr(bg: str, d: str) -> str:
+    """Indices where the (sorted) bigram array changes value — the run
+    starts. element_at is 1-based in both dialects; greatest(i-1, 1)
+    keeps the i=1 probe in bounds (Spark element_at throws on 0).
 
-    Run starts = indices where the value changes; run lengths are the
-    diffs between consecutive starts (with a sentinel end). All array
-    ops, O(m log m) per row, no shuffle. element_at is 1-based in both
-    dialects; greatest(i-1, 1) keeps the i=1 probe in bounds (Spark
-    element_at throws on index 0)."""
+    IMPORTANT staging contract: this and `max_run_expr` MUST be
+    evaluated as separate projected COLUMNS (see signals_sql /
+    with_gopher_signals). Inlining them into one expression makes
+    Catalyst re-evaluate the captured array subexpression for every
+    lambda element — O(m²) per row (measured 18.6 s → 1.6 s on the
+    sf0.1 filter pipeline when staged)."""
     m = _ln(bg, d)
-    starts = _flt(
+    body = _flt(
         _seq("1", m, d),
         f"i -> i = 1 OR {_get(bg, 'i', d)} <> {_get(bg, 'greatest(i - 1, 1)', d)}",
         d,
     )
+    # m = 0 guard: Spark's sequence(1, 0) DESCENDS to [1, 0] and the
+    # element_at(…, 0) probe throws INVALID_INDEX_OF_ZERO
+    empty = "CAST(array() AS ARRAY<INT>)" if d == S else "CAST([] AS BIGINT[])"
+    return f"CASE WHEN {m} < 1 THEN {empty} ELSE {body} END"
+
+
+def sentinel_ends_expr(starts: str, m: str, d: str) -> str:
+    """starts ++ [m+1]: run boundaries with a sentinel end."""
     one_arr = "array(1)" if d == S else "[1]"
-    se = _concat_arr(starts, f"{_tf(one_arr, f'x -> {m} + 1', d)}", d)
+    return _concat_arr(starts, _tf(one_arr, f"x -> {m} + 1", d), d)
+
+
+def max_run_expr(starts: str, se: str, m: str, d: str) -> str:
+    """Longest run = max diff between consecutive boundary indices.
+    `starts`/`se`/`m` must be column references (see staging note on
+    run_starts_expr) so each element_at probe is O(1)."""
     diffs = _tf(
         _seq("1", _ln(starts, d), d),
         f"j -> {_get(se, 'j + 1', d)} - {_get(se, 'j', d)}",
@@ -129,7 +146,7 @@ def _symbols_expr(t: str, d: str) -> str:
 
 
 def _count_stage_exprs(d: str) -> list[str]:
-    """Stage-2 count columns over (__t, __toks, __lines, __bg)."""
+    """Count columns over (__t, __toks, __lines, __m, __starts, __se)."""
     return [
         f"{_ln('__toks', d)} AS n_words",
         f"{_ln('__lines', d)} AS n_lines",
@@ -137,8 +154,8 @@ def _count_stage_exprs(d: str) -> list[str]:
         f"{_ln(_flt('__lines', _bullet_pred(d), d), d)} AS __bul",
         f"{_ln(_flt('__lines', _ellipsis_pred(d), d), d)} AS __ell",
         f"{_ln(_adistinct('__lines', d), d)} AS __dlines",
-        f"{_ln('__bg', d)} AS __m",
-        f"{max_run_expr('__bg', d)} AS __run",
+        "__m",
+        f"{max_run_expr('__starts', '__se', '__m', d)} AS __run",
         f"{_symbols_expr('__t', d)} AS __sym",
     ]
 
@@ -194,7 +211,17 @@ def signals_sql(
         f"SELECT {key_cols}, __t, __toks, __lines, "
         f"{bigrams_expr('__toks', d)} AS __bg FROM ({s1})"
     )
-    s2 = f"SELECT {key_cols}, {', '.join(_count_stage_exprs(d))} FROM ({s1b})"
+    # staged run-length columns — see run_starts_expr's O(m²) warning
+    s1c = (
+        f"SELECT {key_cols}, __t, __toks, __lines, "
+        f"{_ln('__bg', d)} AS __m, {run_starts_expr('__bg', d)} AS __starts "
+        f"FROM ({s1b})"
+    )
+    s1d = (
+        f"SELECT {key_cols}, __t, __toks, __lines, __m, __starts, "
+        f"{sentinel_ends_expr('__starts', '__m', d)} AS __se FROM ({s1c})"
+    )
+    s2 = f"SELECT {key_cols}, {', '.join(_count_stage_exprs(d))} FROM ({s1d})"
     outs = ", ".join(f"{e} AS {name}" for name, e in _signal_exprs(round_out))
     return f"SELECT {key_cols}, {outs} FROM ({s2})"
 
@@ -236,7 +263,17 @@ def with_gopher_signals(
     s1b = s1.selectExpr(
         *keys, "__t", "__toks", "__lines", f"{bigrams_expr('__toks', S)} AS __bg"
     )
-    s2 = s1b.selectExpr(*keys, *_count_stage_exprs(S))
+    # staged run-length columns — see run_starts_expr's O(m²) warning
+    s1c = s1b.selectExpr(
+        *keys, "__t", "__toks", "__lines",
+        f"{_ln('__bg', S)} AS __m",
+        f"{run_starts_expr('__bg', S)} AS __starts",
+    )
+    s1d = s1c.selectExpr(
+        *keys, "__t", "__toks", "__lines", "__m", "__starts",
+        f"{sentinel_ends_expr('__starts', '__m', S)} AS __se",
+    )
+    s2 = s1d.selectExpr(*keys, *_count_stage_exprs(S))
     return s2.selectExpr(
         *keys,
         *[f"{e} AS {name}" for name, e in _signal_exprs(round_out=False)],

@@ -803,6 +803,78 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KEEP_STREAM_ORACLE_TMPL = """
+WITH q AS ({q_keep}),
+g AS ({g_keep})
+SELECT q.doc_id,
+       (q.keep AND g.keep) AS keep,
+       CASE WHEN NOT q.keep THEN q.drop_reason
+            WHEN NOT g.keep THEN g.drop_reason
+            ELSE NULL END AS drop_reason
+FROM q JOIN g ON q.doc_id = g.doc_id
+"""
+
+
+def _keep_stream_oracle() -> str:
+    from ..operators import gopher as gopher_mod
+
+    return _KEEP_STREAM_ORACLE_TMPL.format(
+        q_keep=quality.keep_sql(sd.DUCKDB, table="documents"),
+        g_keep=gopher_mod.keep_sql(sd.DUCKDB, table="documents"),
+    ).strip()
+
+
+@register("quality_keep_stream", _keep_stream_oracle())
+def q_quality_keep_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full filter battery run as a STREAM: readStream over the
+    documents directory → the identical stateless codegen stages →
+    memory sink (append, AvailableNow). Stateless ⇒ the streaming
+    result must equal the batch/DuckDB oracle exactly — incremental
+    filtering of a growing crawl shares the batch operators verbatim."""
+    import tempfile
+    import uuid
+
+    from ..operators import gopher as gopher_mod
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="gate_keep_stream_")
+    spark.read.parquet(table_path(sf_dir, "documents")).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents")
+    schema = spark.read.parquet(f"{d}/documents").schema
+    stream = spark.readStream.schema(schema).parquet(f"{d}/documents")
+    qk = quality.with_keep(quality.with_signals(stream)).select(
+        "doc_id",
+        "text",
+        F.col("keep").alias("q_keep"),
+        F.col("drop_reason").alias("q_reason"),
+    )
+    gk = gopher_mod.with_gopher_keep(
+        gopher_mod.with_gopher_signals(
+            qk, key_cols=("doc_id", "text", "q_keep", "q_reason")
+        )
+    )
+    out = gk.select(
+        "doc_id",
+        (F.col("q_keep") & F.col("keep")).alias("keep"),
+        F.when(~F.col("q_keep"), F.col("q_reason"))
+        .when(~F.col("keep"), F.col("drop_reason"))
+        .otherwise(F.lit(None))
+        .alias("drop_reason"),
+    )
+    name = f"gate_keep_stream_{tag}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 @register("sessionize_stream")
 def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState gap-sessionization (closed sessions);

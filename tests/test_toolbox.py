@@ -309,3 +309,24 @@ def test_asof_join_semantics(spark):
         ).collect()
     }
     assert got == {1: 5.0, 2: 5.0, 3: None, 4: None}
+
+
+def test_asof_broadcast_equals_window_plan(spark):
+    """The broadcast version-array as-of (small-dim plan) must return
+    exactly what the union-window as-of returns on the events/rates
+    pair, including <=-ties and NULL for facts before any version."""
+    from fineweb_modal_spark.operators import asof as asof_op
+
+    ev = load_table(spark, SF, "events").select("event_id", "event_type", "ts")
+    rates = (
+        load_table(spark, SF, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("rate_ts"))
+        .agg(F.round(F.avg("value"), 6).alias("rate"))
+    )
+    a = asof_op.asof_join(ev, rates, key="event_type").select(
+        "event_id", "rate"
+    )
+    b = asof_op.asof_join_broadcast(ev, rates, key="event_type").select(
+        "event_id", "rate"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
