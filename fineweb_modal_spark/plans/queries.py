@@ -550,6 +550,86 @@ def q_gopher_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k.select("doc_id", "keep", "drop_reason")
 
 
+# ---------------------------------------------------------------------------
+# Sampling, window rank family, semi join — relational breadth
+# ---------------------------------------------------------------------------
+
+_STRATIFIED_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE ({H.md5_i64("'samp:' || CAST(doc_id AS VARCHAR)", "duckdb")}) % 100
+      < CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 10 ELSE 25 END
+"""
+
+
+@register("stratified_sample", _STRATIFIED_ORACLE)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (df.sampleBy's semantics with
+    a reproducible md5 coin instead of a seeded RNG — the form that
+    stays stable across engines, retries, and cluster sizes): 50% of
+    en, 10% of zh, 25% of everything else."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = "'samp:' || CAST(doc_id AS STRING)"
+    coin = F.expr(f"({H.md5_i64(key, sd.SPARK)}) % 100")
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "zh", 10)
+        .otherwise(25)
+    )
+    return docs.where(coin < rate).select("doc_id", "lang")
+
+
+_RANK_FAMILY_ORACLE = """
+SELECT doc_id, source,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       round(cume_dist() OVER w, 6) AS cdist,
+       lead(doc_id, 1, -1) OVER w AS next_doc
+FROM documents
+WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC)
+"""
+
+
+@register("rank_family", _RANK_FAMILY_ORACLE)
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full window rank family in one pass (one shuffle, one sort):
+    rank, dense_rank, ntile, cume_dist, lead with default."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.lead("doc_id", 1, -1).over(w).alias("next_doc"),
+    )
+
+
+_SEMI_ORACLE = """
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE EXISTS (
+  SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id AND e.vec_id % 7 <> 0
+)
+"""
+
+
+@register("docs_with_embeddings_semi", _SEMI_ORACLE)
+def q_docs_with_embeddings_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (the existence-probe complement of the anti-join
+    gate) — broadcastable probe side, no row duplication."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").where("vec_id % 7 <> 0")
+    return docs.join(emb, docs.doc_id == emb.vec_id, "left_semi").select(
+        "doc_id", "lang"
+    )
+
+
 _WEBTEXT_PIPELINE_ORACLE = f"""
 WITH pages AS ({{pages}}),
 q AS ({{q_keep}}),
@@ -1173,6 +1253,55 @@ def q_fts_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .where(F.col("df") >= 50)
+    )
+
+
+_POSTINGS_SHARDED_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+hot AS (
+  SELECT tok FROM toks GROUP BY tok HAVING count(DISTINCT doc_id) >= 50
+)
+SELECT t.tok, CAST(t.doc_id % 4 AS BIGINT) AS shard,
+       count(DISTINCT t.doc_id) AS df_shard,
+       array_to_string(list_sort(list(DISTINCT t.doc_id)), ',') AS postings
+FROM toks t JOIN hot h ON t.tok = h.tok
+GROUP BY t.tok, t.doc_id % 4
+"""
+
+
+@register("fts_postings_sharded", _POSTINGS_SHARDED_ORACLE)
+def q_fts_postings_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded inverted index — the 100-TB form of fts_postings. A hot
+    token ('the') appears in nearly every document; an unsharded
+    collect_set funnels that whole posting list through ONE reducer.
+    Sharding the groupBy key to (tok, doc_id % S) bounds every
+    reducer's list to ~1/S of the worst posting list (readers merge
+    shards, which stay sorted). Same two-shuffle shape, no hot key."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    hot = (
+        toks.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= 50)
+        .select("tok")
+    )
+    return (
+        toks.join(F.broadcast(hot), "tok")
+        .groupBy("tok", F.pmod("doc_id", F.lit(4)).alias("shard"))
+        .agg(
+            F.countDistinct("doc_id").alias("df_shard"),
+            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias(
+                "postings"
+            ),
+        )
     )
 
 
