@@ -1081,6 +1081,23 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "host_id", "host_label")
 
 
+_CUBE_ORACLE = """
+SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE (source, lang)
+"""
+
+
+@register("summary_cube", _CUBE_ORACLE)
+def q_summary_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS completeness: df.cube — all four (source, lang)
+    marginals in one pass (same expand + partial-agg plan family as
+    rollup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.cube("source", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
 _ROLLUP_ORACLE = """
 SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY ROLLUP (source, lang)

@@ -330,3 +330,18 @@ def test_asof_broadcast_equals_window_plan(spark):
         "event_id", "rate"
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cluster_resolution_on_long_chain(spark):
+    """A 200-node path graph is the adversarial case for label
+    propagation (diameter 199): pointer jumping must still converge
+    inside the default max_iters and label every node with the chain
+    minimum."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    res = dedup.resolve_clusters(pairs, nodes).collect()
+    assert len(res) == n
+    assert all(r.keeper_doc_id == 0 for r in res)
