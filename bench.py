@@ -90,10 +90,21 @@ def _warmup(spark) -> None:
     cost ~60 s of pure import I/O on an evicted page cache — that is
     environment noise, not engine throughput, so it is paid here once.
     """
+    from fineweb_modal_spark.functions import sqldialect as sd
+    from fineweb_modal_spark.operators import dedup
     from fineweb_modal_spark.plans import pipeline as pl
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     _force(pl.run_pipeline(spark, "/root/testdata/sf0.001"))
+    # Warm the LSH expression classes too: the minhash/banding plan
+    # generates large codegen methods whose first JIT costs seconds —
+    # same generated source at any sf, so a tiny corpus compiles the
+    # classes the timed run reuses (steady-state measurement).
+    spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).createOrReplaceTempView("documents")
+    corpus = spark.sql(dedup.corpus_with_near_dups_sql(sd.SPARK))
+    _force(dedup.lsh_pairs(corpus))
 
 
 SCALING_JSON = os.path.join(

@@ -40,24 +40,30 @@ def corpus_with_near_dups_sql(d: str, table: str = "documents") -> str:
 
 
 def with_minhash(docs: DataFrame) -> DataFrame:
-    """doc_id, __sh (distinct shingle set), sig_0..sig_{K-1}.
+    """doc_id, __sh (distinct HASHED shingle set), sig_0..sig_{K-1}.
 
     One md5 per shingle (30-bit reduced); the K permutations are pure
-    arithmetic over the hashed array — 8× fewer md5 evaluations."""
+    arithmetic over the hashed array — 8× fewer md5 evaluations. The
+    Jaccard-verify payload is the distinct hashed set, NOT the shingle
+    strings: identical set semantics (md5 is shared with the oracle)
+    at ~10× smaller rows — this relation is persisted/materialized as
+    the signature index, so its width is the storage cost at scale."""
+    from ..functions.parallelism import ensure_parallelism
+
     toks = H.tokens_lower("text", S)
     sh = H.shingles("__toks", S)
     shh = H.shingle_hashes("__sh", S)
     out = (
-        docs.selectExpr("doc_id", f"{toks} AS __toks")
+        ensure_parallelism(docs).selectExpr("doc_id", f"{toks} AS __toks")
         .selectExpr("doc_id", f"{sh} AS __sh")
-        .selectExpr("doc_id", "__sh", f"{shh} AS __shh")
+        .selectExpr("doc_id", f"{shh} AS __shh")
     )
     sig_cols = [
         F.expr(H.minhash_sig("__shh", k, S)).alias(f"sig_{k}")
         for k in range(H.N_HASHES)
     ]
     return out.select(
-        "doc_id", F.array_distinct("__sh").alias("__sh"), *sig_cols
+        "doc_id", F.array_distinct("__shh").alias("__sh"), *sig_cols
     )
 
 
@@ -133,7 +139,7 @@ def lsh_pairs_oracle_sql(d: str) -> str:
     sig_cols = ", ".join(
         f"{H.minhash_sig('__shh', k, d)} AS sig_{k}" for k in range(H.N_HASHES)
     )
-    dedup_sh = "array_distinct(__sh)" if d == S else "list_distinct(__sh)"
+    dedup_sh = "array_distinct(__shh)" if d == S else "list_distinct(__shh)"
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, {H.band_hash(b, d)} AS bucket FROM sigs"
         for b in range(H.N_BANDS)

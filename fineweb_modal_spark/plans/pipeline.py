@@ -20,25 +20,7 @@ from ..operators import quality, scoring, scrub
 from ..sources import pages as pages_mod
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Round-robin repartition when the scan yields fewer splits than
-    cores (small/few files). At corpus scale (many ~128 MiB splits)
-    this is a no-op — scan planning already saturates the cluster —
-    so the shuffle only ever happens when it is cheap."""
-    if df.isStreaming:  # micro-batch sizing is the trigger's concern
-        return df
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    # File count from the scan's FileIndex — unlike df.rdd.getNumPartitions()
-    # this never compiles the plan to an RDD on the driver. Non-file
-    # relations report no files; leave those alone (no signal → no shuffle).
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:  # noqa: BLE001
-        return df
-    if 0 < n_files < target:
-        return df.repartition(target)
-    return df
+from ..functions.parallelism import ensure_parallelism as _ensure_parallelism  # noqa: E402
 
 
 def pipeline_df(pages: DataFrame) -> DataFrame:
