@@ -157,6 +157,8 @@ def _count_stage_exprs(d: str) -> list[str]:
         "__m",
         f"{max_run_expr('__starts', '__se', '__m', d)} AS __run",
         f"{_symbols_expr('__t', d)} AS __sym",
+        f"{_ln(_flt('__lines', _punct_pred(d), d), d)} AS __punct",
+        f"{_ln(_flt('__lines', _boiler_pred(d), d), d)} AS __boiler",
     ]
 
 
@@ -166,6 +168,26 @@ def _bullet_pred(d: str) -> str:
 
 def _ellipsis_pred(d: str) -> str:
     return "l -> l LIKE '%...' OR l LIKE '%…'"
+
+
+def _punct_pred(d: str) -> str:
+    opts = ", ".join(
+        "'" + p.replace("'", "''") + "'" if p != '"' else "'\"'"
+        for p in gr.PUNCT_SUFFIXES
+    )
+    return f"l -> substr(l, length(l)) IN ({opts})"
+
+
+def _boiler_pred(d: str) -> str:
+    ws = sd.esc(r"\s+", d)
+    split = (
+        f"split(l, '{ws}')" if d == S else f"regexp_split_to_array(l, '{ws}')"
+    )
+    wc = _ln(_flt(split, "w -> w <> ''", d), d)
+    markers = " OR ".join(
+        f"position('{m}' IN lower(l)) > 0" for m in gr.BOILERPLATE_MARKERS
+    )
+    return f"l -> {wc} <= {gr.BOILERPLATE_MAX_WORDS} OR {markers}"
 
 
 def _ratio(num: str, den: str, alt: str = "0.0") -> str:
@@ -191,6 +213,8 @@ def _signal_exprs(round_out: bool) -> list[tuple[str, str]]:
         ),
         ("top_bigram_frac", rnd(_ratio("__run", "__m"))),
         ("symbol_word_ratio", rnd(_ratio("__sym", "n_words"))),
+        ("punct_line_ratio", rnd(_ratio("__punct", "n_lines"))),
+        ("boilerplate_line_ratio", rnd(_ratio("__boiler", "n_lines"))),
     ]
 
 
@@ -240,6 +264,7 @@ def keep_sql(
   WHEN dup_line_ratio > {gr.MAX_DUP_LINE_RATIO} THEN 'high_dup_line_ratio'
   WHEN top_bigram_frac > {gr.MAX_TOP_BIGRAM_FRAC} THEN 'high_top_bigram_frac'
   WHEN symbol_word_ratio > {gr.MAX_SYMBOL_WORD_RATIO} THEN 'high_symbol_word_ratio'
+  WHEN boilerplate_line_ratio > {gr.MAX_BOILERPLATE_LINE_RATIO} THEN 'high_boilerplate_line_ratio'
   ELSE NULL END"""
     return (
         f"SELECT {key_cols}, ({reason}) IS NULL AS keep, {reason} AS drop_reason "
@@ -288,6 +313,7 @@ def with_gopher_keep(sig: DataFrame) -> DataFrame:
   WHEN dup_line_ratio > {gr.MAX_DUP_LINE_RATIO} THEN 'high_dup_line_ratio'
   WHEN top_bigram_frac > {gr.MAX_TOP_BIGRAM_FRAC} THEN 'high_top_bigram_frac'
   WHEN symbol_word_ratio > {gr.MAX_SYMBOL_WORD_RATIO} THEN 'high_symbol_word_ratio'
+  WHEN boilerplate_line_ratio > {gr.MAX_BOILERPLATE_LINE_RATIO} THEN 'high_boilerplate_line_ratio'
   ELSE NULL END"""
     return sig.selectExpr(
         "*", f"({reason}) IS NULL AS keep", f"{reason} AS drop_reason"

@@ -524,6 +524,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOPHER_RATIOS = [
     "alpha_word_ratio", "bullet_line_ratio", "ellipsis_line_ratio",
     "dup_line_ratio", "top_bigram_frac", "symbol_word_ratio",
+    "punct_line_ratio", "boilerplate_line_ratio",
 ]
 
 

@@ -32,9 +32,24 @@ MAX_ELLIPSIS_LINE_RATIO = 0.30
 MAX_DUP_LINE_RATIO = 0.30
 MAX_TOP_BIGRAM_FRAC = 0.20
 MAX_SYMBOL_WORD_RATIO = 0.10
+MAX_BOILERPLATE_LINE_RATIO = 0.50
 
 BULLET_PREFIXES = ("-", "*", "•")
 ELLIPSIS_SUFFIXES = ("...", "…")
+# terminal punctuation (C4 line rule): exposed as a SIGNAL
+# (punct_line_ratio) for downstream thresholds, not a drop rule —
+# corpus-appropriate cutoffs vary too much to hardcode
+PUNCT_SUFFIXES = (".", "!", "?", '"')
+# nav/legal boilerplate markers; a line is boilerplate if it contains
+# one (case-insensitive) or has <= BOILERPLATE_MAX_WORDS words
+BOILERPLATE_MARKERS = (
+    "all rights reserved",
+    "cookie",
+    "subscribe",
+    "terms of service",
+    "privacy policy",
+)
+BOILERPLATE_MAX_WORDS = 3
 
 DROP_REASONS = [
     "low_alpha_word_ratio",
@@ -43,6 +58,7 @@ DROP_REASONS = [
     "high_dup_line_ratio",
     "high_top_bigram_frac",
     "high_symbol_word_ratio",
+    "high_boilerplate_line_ratio",
 ]
 
 _WS = re.compile(r"\s+")
@@ -83,6 +99,13 @@ def gopher_signals_py(text: str) -> dict:
     n_symbols = (
         text.count("#") + text.count("…") + text.count("...")
     )
+    puncts = sum(1 for ln in lines if ln.endswith(PUNCT_SUFFIXES))
+    boiler = sum(
+        1
+        for ln in lines
+        if len(_tokens(ln)) <= BOILERPLATE_MAX_WORDS
+        or any(m in ln.lower() for m in BOILERPLATE_MARKERS)
+    )
     return {
         "n_lines": n_lines,
         "alpha_word_ratio": alpha / n_words if n_words else 0.0,
@@ -93,6 +116,8 @@ def gopher_signals_py(text: str) -> dict:
         ),
         "top_bigram_frac": _top_bigram_frac(toks),
         "symbol_word_ratio": n_symbols / n_words if n_words else 0.0,
+        "punct_line_ratio": puncts / n_lines if n_lines else 0.0,
+        "boilerplate_line_ratio": boiler / n_lines if n_lines else 0.0,
     }
 
 
@@ -110,4 +135,6 @@ def gopher_keep_py(text: str) -> tuple[bool, str | None]:
         return False, "high_top_bigram_frac"
     if s["symbol_word_ratio"] > MAX_SYMBOL_WORD_RATIO:
         return False, "high_symbol_word_ratio"
+    if s["boilerplate_line_ratio"] > MAX_BOILERPLATE_LINE_RATIO:
+        return False, "high_boilerplate_line_ratio"
     return True, None

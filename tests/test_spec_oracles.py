@@ -184,6 +184,8 @@ GOPHER_TEXTS = [
     "see # one and # two plus # three markers here now",          # symbols
     "12345 67890 11111 22222 33333 44444",                        # no alpha
     "one two\nthree four…\n- five six ...",                       # mixed
+    "Home\nAbout\nAll rights reserved. Subscribe to our newsletter now\nContact",  # boilerplate
+    "A full sentence ends here.\nAnother proper sentence follows!\nDoes this one too?",  # punct lines
     None,                                                         # NULL text
 ]
 
@@ -203,7 +205,8 @@ def test_gopher_three_renderings_match_python_spec(spark):
 
     sigcols = ["n_lines", "alpha_word_ratio", "bullet_line_ratio",
                "ellipsis_line_ratio", "dup_line_ratio", "top_bigram_frac",
-               "symbol_word_ratio"]
+               "symbol_word_ratio", "punct_line_ratio",
+               "boilerplate_line_ratio"]
 
     def check(got_sig, got_keep):
         for i, t in rows:
