@@ -125,3 +125,51 @@ def test_perplexity_positive_finite(a, b):
     lp = qr.build_bigram_logprobs()
     for v in qr.perplexity_batch([a, b], lp):
         assert math.isfinite(v) and v > 0
+
+
+@given(_text)
+@settings(max_examples=200, deadline=None)
+def test_gopher_signal_ranges_and_consistency(text):
+    from fineweb_modal_spark.spec import gopher_rules as gr
+
+    s = gr.gopher_signals_py(text)
+    for c in ("alpha_word_ratio", "bullet_line_ratio", "ellipsis_line_ratio",
+              "dup_line_ratio", "top_bigram_frac", "punct_line_ratio",
+              "boilerplate_line_ratio"):
+        assert 0.0 <= s[c] <= 1.0, (c, s[c])
+    assert s["symbol_word_ratio"] >= 0.0
+    assert s["n_lines"] >= 0
+    keep, reason = gr.gopher_keep_py(text)
+    assert keep == (reason is None)
+    if reason is not None:
+        assert reason in gr.DROP_REASONS
+
+
+@given(_text)
+@settings(max_examples=200, deadline=None)
+def test_url_normalize_idempotent_and_stable(url):
+    from fineweb_modal_spark.operators.urldedup import normalize_py
+
+    once = normalize_py(url)
+    assert normalize_py(once) == once  # idempotent
+    assert "?" not in once and "#" not in once
+    assert not once.endswith("/")
+    assert not once.startswith(("http://", "https://"))
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=1, max_size=3), min_size=0, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_top_bigram_frac_matches_counter(tokens):
+    """Run-length-over-sorted formulation equals the direct Counter
+    mode frequency."""
+    from collections import Counter
+
+    from fineweb_modal_spark.spec import gopher_rules as gr
+
+    got = gr._top_bigram_frac(tokens)
+    bigrams = [f"{a} {b}" for a, b in zip(tokens, tokens[1:])]
+    if len(bigrams) == 0:
+        assert got == 0.0
+    else:
+        want = Counter(bigrams).most_common(1)[0][1] / len(bigrams)
+        assert got == want
