@@ -573,18 +573,16 @@ def ivf_topk(
     )
 
 
-def ivf_topk_oracle_sql(
+def _ivf_common_ctes(
     d: str,
-    k: int = 3,
     n_probe: int = N_PROBE,
     n_iters: int = N_ITERS,
     sample_cap: int = SAMPLE_CAP,
     table: str = "embeddings",
 ) -> str:
-    """Relational re-derivation of the ENTIRE trained index + search:
-    same md5 sampling, same seeds, same Lloyd iterations, same probe
-    semantics — C and the sample modulus computed from count(*) inside
-    the SQL, so one string is valid at any scale factor."""
+    """Shared CTE prefix (WITH … probes): coarse-index training +
+    full-corpus assignment, used by both the exact-IVF and the IVF-PQ
+    oracles."""
     md5v = H.md5_i64("CAST(vec_id AS VARCHAR)", d)
     seed_key = H.md5_i64("'seed:' || CAST(vec_id AS VARCHAR)", d)
     to_dbl = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -618,7 +616,6 @@ cents_{i + 1} AS (
     cents_final = f"cents_{n_iters}"
     dot_ec = _dot("e.emb", "c.cvec", d)
     nrm_e = _norm("e.emb", d)
-    dot_q = _dot("p.qvec", "a.emb", d)
     return f"""
 WITH params AS (
   SELECT CAST(greatest(floor(sqrt(count(*))), 1) AS BIGINT) AS c,
@@ -651,7 +648,26 @@ ranked AS (
 ),
 assign AS (SELECT vec_id, emb, vnorm, centroid_id AS cell FROM ranked WHERE crank = 1),
 probes AS (SELECT vec_id AS query_id, emb AS qvec, vnorm AS qnorm, centroid_id AS cell
-           FROM ranked WHERE crank <= {n_probe}),
+           FROM ranked WHERE crank <= {n_probe})
+""".strip()
+
+
+def ivf_topk_oracle_sql(
+    d: str,
+    k: int = 3,
+    n_probe: int = N_PROBE,
+    n_iters: int = N_ITERS,
+    sample_cap: int = SAMPLE_CAP,
+    table: str = "embeddings",
+) -> str:
+    """Relational re-derivation of the ENTIRE trained index + search:
+    same md5 sampling, same seeds, same Lloyd iterations, same probe
+    semantics — C and the sample modulus computed from count(*) inside
+    the SQL, so one string is valid at any scale factor."""
+    common = _ivf_common_ctes(d, n_probe, n_iters, sample_cap, table)
+    dot_q = _dot("p.qvec", "a.emb", d)
+    return f"""
+{common},
 pairs AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
          ({dot_q}) / (p.qnorm * a.vnorm) AS cosine
@@ -664,4 +680,317 @@ rankedq AS (
 )
 SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
 FROM rankedq WHERE rank <= {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantization compression for the candidate payload —
+# the reference's actual index type (lancer.py:203-216 builds IVF-PQ).
+# Candidates ship M uint8 codes instead of d floats (64x smaller at
+# d=64, M=8); scoring is an ADC lookup-table gather per query.
+# ---------------------------------------------------------------------------
+
+PQ_M = 16  # subspaces (sub = d/M = 4 dims each at d=64)
+PQ_K = 64  # codes per subspace — sized for usable recall on
+           # near-orthogonal data (measured: M=8/K=16 quantization-only
+           # recall 0.16; M=16/K=64 → 0.52 at 16 bytes/vector)
+PQ_ITERS = 1  # Lloyd refinement passes per subspace
+PQ_TRAIN_CAP = 4096  # training-sample row bound
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    n: int | None = None,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iters: int = PQ_ITERS,
+    train_cap: int = PQ_TRAIN_CAP,
+):
+    """Per-subspace k-means codebooks, trained on a deterministic
+    md5 hash-sample (≤ ~train_cap rows — index training is the
+    standard bounded-sample exception to no-collect). Seeds are the
+    first k sample vectors by md5('seed:'||vec_id) — the same
+    derivation as the coarse IVF seeds — refined by `n_iters` Lloyd
+    passes per subspace (L2 assignment, empty codes keep their seed).
+    Returns float64 array [m][k][d/m]. Deterministic end-to-end so the
+    DuckDB oracle re-derives identical codebooks relationally.
+    """
+    np = _np()
+    if n is None:
+        n = emb.count()
+    samp_mod = max(1, n // train_cap)
+    md5v = H.md5_i64("CAST(vec_id AS STRING)", S)
+    sample = (
+        emb.where(F.expr(f"({md5v}) % {samp_mod} = 0")) if samp_mod > 1 else emb
+    )
+    seed_key = H.md5_i64("'seed:' || CAST(vec_id AS STRING)", S)
+    rows = (
+        sample.select("vec_id", "embedding", F.expr(seed_key).alias("sk"))
+        .orderBy(F.asc("sk"), F.asc("vec_id"))
+        .collect()
+    )
+    X = np.stack([np.asarray(r.embedding) for r in rows]).astype(np.float64)
+    d = X.shape[1]
+    sub = d // m
+    books = np.empty((m, k, sub))
+    for mi in range(m):
+        Xs = X[:, mi * sub : (mi + 1) * sub]
+        cb = Xs[: min(k, len(Xs))].copy()
+        if len(cb) < k:  # degenerate tiny corpus: pad by repetition
+            cb = np.resize(cb, (k, sub))
+        for _ in range(n_iters):
+            d2 = ((Xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # ties → lowest code id
+            for ci in range(k):
+                mask = assign == ci
+                if mask.any():
+                    cb[ci] = Xs[mask].mean(axis=0)
+        books[mi] = cb
+    return books
+
+
+def encode_and_assign_pq(
+    emb: DataFrame, cent_ids, cent_mat, codebooks, n_probe: int
+) -> DataFrame:
+    """One Python stage: coarse cell assignment (top n_probe, as
+    `_assign_cells`) PLUS the PQ codes per vector — so the index build
+    touches each vector exactly once. Output: (vec_id, embedding,
+    vnorm, cell, crank, codes:array<int>)."""
+    np = _np()
+    cent_mat = np.ascontiguousarray(cent_mat, dtype=np.float64)
+    cent_ids = np.asarray(cent_ids, dtype=np.int64)
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, k, sub = books.shape
+    cnorm = np.sqrt((cent_mat * cent_mat).sum(axis=1))
+    npe = min(n_probe, len(cent_ids))
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vn = np.sqrt((E * E).sum(axis=1))
+            cos = (E @ cent_mat.T) / np.outer(vn, cnorm)
+            order = np.lexsort(
+                (np.broadcast_to(cent_ids, cos.shape), -cos)
+            )[:, :npe]
+            codes = np.empty((len(E), m), dtype=np.int64)
+            for mi in range(m):
+                Xs = E[:, mi * sub : (mi + 1) * sub]
+                d2 = ((Xs[:, None, :] - books[mi][None, :, :]) ** 2).sum(axis=2)
+                codes[:, mi] = np.argmin(d2, axis=1)
+            ridx = np.repeat(np.arange(len(pdf)), npe)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[ridx],
+                    "embedding": [E[i] for i in ridx],
+                    "vnorm": vn[ridx],
+                    "cell": cent_ids[order].ravel(),
+                    "crank": np.tile(np.arange(1, npe + 1), len(pdf)),
+                    "codes": [codes[i] for i in ridx],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        fn,
+        "vec_id bigint, embedding array<double>, vnorm double, "
+        "cell bigint, crank int, codes array<bigint>",
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_probe: int = N_PROBE,
+    centroids=None,
+    codebooks=None,
+) -> DataFrame:
+    """Top-k by APPROXIMATE inner product via IVF-PQ: probe the
+    n_probe nearest cells, score candidates from their M-byte PQ codes
+    with a per-query ADC lookup table (LUT[m][c] = dot(q_sub_m,
+    codebook_m[c]); score = Σ_m LUT[m][codes[m]]). The candidate
+    relation carries codes only — at 10^12 vectors that is the
+    difference between shipping 8 ints and 64 floats per candidate
+    through the cell shuffle. Returns (query_id, neighbor_id, score,
+    rank); score is the approximate dot product (recall measured in
+    tests against exact cosine_topk)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(emb)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(emb)
+    cent_ids, cent_mat = centroids
+    np = _np()
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, _, sub = books.shape
+    a = encode_and_assign_pq(emb, cent_ids, cent_mat, books, n_probe).persist()
+    cand = a.where(F.col("crank") == 1).select(
+        F.col("cell").alias("b_cell"), "vec_id", "codes"
+    )
+    qry = a.select(
+        F.col("cell").alias("g_cell"),
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+
+    def per_cell(pq, pa):
+        import pandas as pd
+
+        if len(pq) == 0 or len(pa) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "score": []}
+            ).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "score": "float64"}
+            )
+        Q = np.stack(pq["qvec"].to_numpy()).astype(np.float64)
+        codes = np.stack(pa["codes"].to_numpy()).astype(np.int64)
+        qids = pq["query_id"].to_numpy()
+        nids = pa["vec_id"].to_numpy()
+        # LUTs: for each query, per-subspace dot with every codebook
+        # entry — (nq, m, k) = einsum over the query's subvectors
+        Qs = Q.reshape(len(Q), m, sub)
+        luts = np.einsum("qms,mks->qmk", Qs, books)
+        # gather: score[q, c] = sum_m luts[q, m, codes[c, m]]
+        scores = luts[:, np.arange(m)[None, :], codes[:, :]].sum(axis=2)
+        cosm = np.where(nids[None, :] == qids[:, None], -np.inf, scores)
+        kk = min(k, cosm.shape[1])
+        order = np.lexsort((np.broadcast_to(nids, cosm.shape), -cosm))[:, :kk]
+        vals = np.take_along_axis(cosm, order, axis=1).ravel()
+        keep = np.isfinite(vals)
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, kk)[keep],
+                "neighbor_id": nids[order.ravel()][keep],
+                "score": vals[keep],
+            }
+        )
+
+    pairs = (
+        qry.groupBy("g_cell")
+        .cogroup(cand.groupBy("b_cell"))
+        .applyInPandas(
+            per_cell, "query_id bigint, neighbor_id bigint, score double"
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(wq))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank"
+        )
+    )
+
+
+def ivf_pq_oracle_sql(
+    d: str,
+    k: int = 3,
+    n_probe: int = N_PROBE,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    sub: int = 64 // PQ_M,
+    train_cap: int = PQ_TRAIN_CAP,
+    table: str = "embeddings",
+) -> str:
+    """Relational re-derivation of the FULL IVF-PQ path: the shared
+    coarse-index CTEs, then per-subspace codebooks (same md5 sample +
+    seed order, one Lloyd pass with seed fallback for empty codes),
+    corpus encoding by L2-argmin, and ADC scoring as a flattened
+    (query-subvector × codebook-entry) join-sum. Assumes the sample
+    holds ≥ k_codes rows (the numpy trainer pads degenerate tiny
+    corpora by repetition; no fixture is that small)."""
+    common = _ivf_common_ctes(d, n_probe=n_probe, table=table)
+    md5v = H.md5_i64("CAST(vec_id AS VARCHAR)", d)
+    seed_key = H.md5_i64("'seed:' || CAST(vec_id AS VARCHAR)", d)
+    to_dbl = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+            f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+        )
+
+    return f"""
+{common},
+pq_params AS (
+  SELECT CAST(greatest(CAST(count(*) AS BIGINT) // {train_cap}, 1) AS BIGINT) AS pm
+  FROM {table}
+),
+pq_samp AS (
+  SELECT row_number() OVER (ORDER BY ({seed_key}) ASC, vec_id ASC) AS rn,
+         vec_id, {to_dbl} AS emb
+  FROM {table}
+  WHERE ({md5v}) % (SELECT pm FROM pq_params) = 0
+),
+pq_seeds AS (
+  SELECT g.mi, CAST(s.rn - 1 AS BIGINT) AS code,
+         s.emb[CAST(g.mi * {sub} + 1 AS BIGINT):CAST((g.mi + 1) * {sub} AS BIGINT)] AS cvec
+  FROM pq_samp s CROSS JOIN generate_series(0, {m - 1}) g(mi)
+  WHERE s.rn <= {k_codes}
+),
+pq_long AS (
+  SELECT s.vec_id, g.mi,
+         s.emb[CAST(g.mi * {sub} + 1 AS BIGINT):CAST((g.mi + 1) * {sub} AS BIGINT)] AS sub
+  FROM pq_samp s CROSS JOIN generate_series(0, {m - 1}) g(mi)
+),
+pq_asg AS (
+  SELECT vec_id, mi, code FROM (
+    SELECT l.vec_id, l.mi, c.code,
+           row_number() OVER (PARTITION BY l.vec_id, l.mi ORDER BY
+             ({l2("l.sub", "c.cvec")}) ASC, c.code ASC) AS arn
+    FROM pq_long l JOIN pq_seeds c ON c.mi = l.mi
+  ) WHERE arn = 1
+),
+pq_cb AS (
+  SELECT sd2.mi, sd2.code, coalesce(m2.cvec, sd2.cvec) AS cvec
+  FROM pq_seeds sd2
+  LEFT JOIN (
+    SELECT mi, code, list(v ORDER BY j) AS cvec FROM (
+      SELECT a.mi, a.code, j.j, avg(l.sub[j.j]) AS v
+      FROM pq_asg a
+      JOIN pq_long l ON l.vec_id = a.vec_id AND l.mi = a.mi
+      CROSS JOIN generate_series(1, {sub}) j(j)
+      GROUP BY a.mi, a.code, j.j
+    ) GROUP BY mi, code
+  ) m2 ON m2.mi = sd2.mi AND m2.code = sd2.code
+),
+pq_codes AS (
+  SELECT vec_id, mi, code FROM (
+    SELECT e.vec_id, c.mi, c.code,
+           row_number() OVER (PARTITION BY e.vec_id, c.mi ORDER BY
+             ({l2(f"e.emb[CAST(c.mi * {sub} + 1 AS BIGINT):CAST((c.mi + 1) * {sub} AS BIGINT)]", "c.cvec")}) ASC,
+             c.code ASC) AS arn
+    FROM en e JOIN pq_cb c ON TRUE
+  ) WHERE arn = 1
+),
+qflat AS (
+  SELECT vec_id, CAST((dim - 1) // {sub} AS BIGINT) AS mi,
+         ((dim - 1) % {sub}) + 1 AS j, val
+  FROM (SELECT vec_id, generate_subscripts(emb, 1) AS dim, unnest(emb) AS val
+        FROM en)
+),
+cbflat AS (
+  SELECT mi, code, generate_subscripts(cvec, 1) AS j, unnest(cvec) AS val
+  FROM pq_cb
+),
+pq_pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, sum(qf.val * cf.val) AS score
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN pq_codes c ON c.vec_id = a.vec_id
+  JOIN qflat qf ON qf.vec_id = p.query_id AND qf.mi = c.mi
+  JOIN cbflat cf ON cf.mi = c.mi AND cf.code = c.code AND cf.j = qf.j
+  GROUP BY 1, 2
+),
+rankedpq AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM pq_pairs
+)
+SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+FROM rankedpq WHERE rank <= {k}
 """.strip()

@@ -1051,6 +1051,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, k=3)
 
 
+@register("ivf_pq_topk", similarity.ivf_pq_oracle_sql(D))
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the reference's ACTUAL index type (lancer.py:203-216):
+    coarse sqrt(n) cells + per-subspace product-quantization codebooks;
+    candidates ship M=8 codes instead of 64 floats through the cell
+    shuffle, scored by per-query ADC lookup tables. Oracle re-derives
+    coarse index, codebooks, codes, and ADC scores relationally."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(emb, k=3)
+
+
 _HOST_DIM_SQL = (
     "SELECT DISTINCT CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 13 END AS host_id, "
     "'host-' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 13 END AS {T}) AS host_label "

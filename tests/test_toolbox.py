@@ -345,3 +345,32 @@ def test_cluster_resolution_on_long_chain(spark):
     res = dedup.resolve_clusters(pairs, nodes).collect()
     assert len(res) == n
     assert all(r.keeper_doc_id == 0 for r in res)
+
+
+def test_ivf_pq_recall_vs_brute_force(spark):
+    """PQ quantization costs some recall vs exact-IVF (0.54 here) but
+    must stay well above the random-probe floor (~0.18); planted
+    scaled duplicates must still surface as top-1 (quantization noise
+    ≪ the cosine≈1 signal)."""
+    emb = load_table(spark, SF, "embeddings")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, k=3).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_pq_topk(emb, k=3).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.30, recall
+
+    emb.createOrReplaceTempView("embeddings")
+    corpus = spark.sql(similarity.corpus_with_dup_vectors_sql(sd.SPARK))
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in similarity.ivf_pq_topk(corpus, k=1).collect()
+    }
+    planted = [q for q in top1 if q >= 100000]
+    assert planted
+    hits = sum(1 for q in planted if top1[q] == q - 100000)
+    assert hits / len(planted) >= 0.9, hits / len(planted)
