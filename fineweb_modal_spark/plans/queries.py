@@ -611,6 +611,47 @@ def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FULL_OUTER_ORACLE = """
+SELECT coalesce(d.doc_id, e.vec_id + 1000000) AS key_id,
+       coalesce(d.doc_id, -1) AS doc_id, coalesce(e.vec_id, -1) AS vec_id,
+       CASE WHEN d.doc_id IS NULL THEN 'emb_only'
+            WHEN e.vec_id IS NULL THEN 'doc_only'
+            ELSE 'both' END AS side
+FROM (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0) d
+FULL OUTER JOIN (SELECT vec_id FROM embeddings WHERE vec_id % 5 <> 0) e
+  ON d.doc_id = e.vec_id
+"""
+
+
+@register("docs_embeddings_full_outer", _FULL_OUTER_ORACLE)
+def q_docs_embeddings_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join (the last join family): mismatched filters on
+    both sides so all three row classes (both/doc_only/emb_only)
+    appear; coalesced surrogate key keeps the output hashable."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 3 <> 0")
+        .select("doc_id")
+    )
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .where("vec_id % 5 <> 0")
+        .select("vec_id")
+    )
+    j = d.join(e, d.doc_id == e.vec_id, "full_outer")
+    return j.select(
+        F.coalesce(F.col("doc_id"), F.col("vec_id") + 1000000).alias("key_id"),
+        # -1 sentinels: nullable int columns degrade to float64 through
+        # the gate's pandas fetch (the HUGEINT lesson, nullable flavor)
+        F.coalesce(F.col("doc_id"), F.lit(-1)).alias("doc_id"),
+        F.coalesce(F.col("vec_id"), F.lit(-1)).alias("vec_id"),
+        F.when(F.col("doc_id").isNull(), "emb_only")
+        .when(F.col("vec_id").isNull(), "doc_only")
+        .otherwise("both")
+        .alias("side"),
+    )
+
+
 _SEMI_ORACLE = """
 SELECT d.doc_id, d.lang
 FROM documents d
