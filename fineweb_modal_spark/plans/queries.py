@@ -925,6 +925,52 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_URL_DEDUP_STREAM_ORACLE = f"""
+WITH pages AS ({pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)}),
+corpus AS ({urldedup.corpus_with_url_variants_sql(sd.DUCKDB)})
+SELECT DISTINCT {urldedup.normalize_sql("url", sd.DUCKDB)} AS norm_url
+FROM corpus
+"""
+
+
+@register("url_dedup_stream", _URL_DEDUP_STREAM_ORACLE)
+def q_url_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming URL dedup of a re-crawl feed: readStream →
+    normalize → dropDuplicates state → memory sink. Which ROW wins per
+    key is micro-batch-order dependent, but the KEY SET is not — so
+    the gate emits only norm_url and the oracle is a batch DISTINCT.
+    (Bounded-state production form adds a watermark column; the
+    watermarked variant is exercised in tests/test_streaming.py.)"""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="gate_urldd_")
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    p.createOrReplaceTempView("pages_urls")
+    spark.sql(
+        urldedup.corpus_with_url_variants_sql(sd.SPARK, pages="pages_urls")
+    ).write.mode("overwrite").parquet(f"{d}/corpus")
+    schema = spark.read.parquet(f"{d}/corpus").schema
+    stream = spark.readStream.schema(schema).parquet(f"{d}/corpus")
+    out = (
+        urldedup.with_norm_url(stream)
+        .select("norm_url")
+        .dropDuplicates(["norm_url"])
+    )
+    name = f"gate_urldd_{tag}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 _KEEP_STREAM_ORACLE_TMPL = """
 WITH q AS ({q_keep}),
 g AS ({g_keep})
