@@ -175,8 +175,12 @@ def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Latest manifest row per ds (rewrites supersede older rows)."""
-    m = spark.read.parquet(os.path.join(out_dir, MANIFEST_DIR))
+    """Latest manifest row per ds (rewrites supersede older rows).
+    mergeSchema: maintenance rows (op/compaction fields) widen the
+    manifest schema over time — reads must union all row shapes."""
+    m = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out_dir, MANIFEST_DIR)
+    )
     w = F.row_number().over(
         Window.partitionBy("ds").orderBy(F.desc("committed_at"))
     )
@@ -192,3 +196,76 @@ def read_output_asof(spark: SparkSession, out_dir: str, as_of: str) -> DataFrame
     if not ds_list:
         return read_output(spark, out_dir).limit(0)
     return read_output(spark, out_dir).where(F.col("ds").isin(ds_list))
+
+
+# ---------------------------------------------------------------------------
+# Table maintenance — the operations a 100-TB partitioned table needs
+# between writes (the parquet-manifest analogs of Iceberg's
+# rewrite_data_files / expire_snapshots).
+# ---------------------------------------------------------------------------
+
+
+def partition_files(out_dir: str, ds: str) -> list[str]:
+    pdir = os.path.join(out_dir, f"ds={ds}")
+    try:
+        return [
+            f
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+    except OSError:
+        return []
+
+
+def compact_partition(
+    spark: SparkSession, out_dir: str, ds: str, target_files: int = 1
+) -> dict:
+    """Rewrite one ds partition into `target_files` files (small-file
+    compaction: every salted write leaves up to N_SALTS files per
+    partition; streams of incremental runs accumulate them until scan
+    planning is dominated by file-open overhead). Reads the partition,
+    coalesces, overwrites the SAME directory via a temp dir + atomic
+    rename, and appends a superseding manifest row (op='compact') so
+    time-travel reads stay consistent. Returns the manifest row."""
+    import shutil
+    import tempfile
+
+    pdir = os.path.join(out_dir, f"ds={ds}")
+    n_before = len(partition_files(out_dir, ds))
+    t0 = time.monotonic()
+    df = spark.read.parquet(pdir)
+    tmp = tempfile.mkdtemp(prefix="compact_") + "/part"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    n_rows = spark.read.parquet(tmp).count()
+    shutil.rmtree(pdir)
+    shutil.move(tmp, pdir)
+    row = {
+        "ds": ds,
+        "sink": "parquet",
+        "op": "compact",
+        "n_rows": int(n_rows),
+        "n_files_before": n_before,
+        "n_files_after": len(partition_files(out_dir, ds)),
+        "wall_s": round(time.monotonic() - t0, 3),
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    _write_manifest_row(spark, out_dir, row)
+    return row
+
+
+def vacuum_manifest(spark: SparkSession, out_dir: str) -> int:
+    """Drop superseded manifest rows (every row except the latest per
+    ds) — the expire-snapshots analog. Time-travel reads older than the
+    vacuum horizon stop resolving, exactly like Iceberg retention.
+    Returns the number of rows removed."""
+    mpath = os.path.join(out_dir, MANIFEST_DIR)
+    full = spark.read.parquet(mpath)
+    latest = read_manifest(spark, out_dir)
+    n_removed = full.count() - latest.count()
+    tmp = mpath + "__vacuum"
+    latest.coalesce(1).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(mpath)
+    shutil.move(tmp, mpath)
+    return int(n_removed)

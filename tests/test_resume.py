@@ -140,3 +140,62 @@ def test_iceberg_branch_falls_back_gracefully_offline(spark, tmp_path):
     got = sinks.read_output(spark, out)
     want = _build(spark)
     assert got.count() == want.count()
+
+
+def test_compaction_preserves_data_and_supersedes_manifest(spark, tmp_path):
+    """Compacting a salted partition reduces its file count to 1,
+    leaves the row set byte-identical, and appends a superseding
+    manifest row; vacuum then drops the superseded history."""
+    import os
+    import shutil
+    import tempfile
+
+    out = str(tmp_path / "out_compact")
+    sinks.resume_run(spark, _build, out)
+    ds = sorted(sinks.committed_partitions(spark, out))[0]
+    # simulate small-file accumulation from incremental runs (AQE
+    # coalesces the salted shuffle to one file at fixture scale):
+    # split the partition into 4 files, byte-identical row set
+    pdir = os.path.join(out, f"ds={ds}")
+    tmp = tempfile.mkdtemp(prefix="split_") + "/part"
+    spark.read.parquet(pdir).repartition(4).write.parquet(tmp)
+    shutil.rmtree(pdir)
+    shutil.move(tmp, pdir)
+    before_rows = sorted(
+        map(tuple, sinks.read_output(spark, out).where(F.col("ds") == ds).collect())
+    )
+    n_files_before = len(sinks.partition_files(out, ds))
+    assert n_files_before > 1
+
+    row = sinks.compact_partition(spark, out, ds, target_files=1)
+    assert row["n_files_after"] == 1
+    assert row["n_rows"] == len(before_rows)
+    after_rows = sorted(
+        map(tuple, sinks.read_output(spark, out).where(F.col("ds") == ds).collect())
+    )
+    assert after_rows == before_rows
+    # manifest: compact row supersedes the original write row for ds
+    man = {r.ds: r for r in sinks.read_manifest(spark, out).collect()}
+    assert man[ds].op == "compact"
+    # resume is still a no-op (partition remains committed)
+    assert sinks.resume_run(spark, _build, out) == []
+
+    removed = sinks.vacuum_manifest(spark, out)
+    assert removed >= 1
+    man2 = {r.ds: r for r in sinks.read_manifest(spark, out).collect()}
+    assert set(man2) == set(man)
+
+
+def test_manifest_schema_evolution_reads_merged(spark, tmp_path):
+    """Maintenance rows widen the manifest schema (op, file counts);
+    read_manifest must surface old and new row shapes together."""
+    out = str(tmp_path / "out_evolve")
+    sinks.resume_run(spark, _build, out)
+    ds = sorted(sinks.committed_partitions(spark, out))[0]
+    sinks.compact_partition(spark, out, ds)
+    man = sinks.read_manifest(spark, out)
+    cols = set(man.columns)
+    assert {"ds", "n_rows", "committed_at", "op", "n_files_after"} <= cols
+    # non-compacted partitions still carry their write metrics
+    other = [r for r in man.collect() if r.ds != ds]
+    assert other and all(r.n_keep is not None for r in other)
