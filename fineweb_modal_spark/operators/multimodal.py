@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -206,4 +207,76 @@ FROM documents LATERAL VIEW explode(sequence(0, {n_frames - 1})) t AS k
 SELECT doc_id, CAST(k AS INT) AS frame_idx,
        CAST((k * {blen}) // {n_frames} AS BIGINT) AS byte_offset
 FROM documents, generate_series(0, {n_frames - 1}) t(k)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction (the fourth member of the decode / resize /
+# frame-sample / feature-extract quartet): an embedding-like vector
+# per media payload. Real impl would run a vision tower inside the
+# same mapInPandas; the stub derives a deterministic 8-dim feature
+# from byte-window checksums so the Spark plumbing (schema, Arrow
+# batch shape, downstream hashability) is real and oracle-checked.
+# ---------------------------------------------------------------------------
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("feat_dim", IntegerType()),
+        StructField("feat_md5", StringType()),
+        StructField("feat_sum", LongType()),
+    ]
+)
+
+
+def feature_stub(pages: DataFrame) -> DataFrame:
+    """Deterministic per-payload feature vector: value j = checksum of
+    the j-th of FEATURE_DIM byte windows (length-based closed form so
+    the oracle needs no binary processing). Emits hashable scalars:
+    the md5 of the comma-joined vector + its sum."""
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blens = pdf["html"].str.len().astype("int64")
+            feats = []
+            for blen in blens:
+                v = [
+                    ((blen // FEATURE_DIM + j) * 2654435761) % 1_000_000_007
+                    for j in range(FEATURE_DIM)
+                ]
+                feats.append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "feat_dim": FEATURE_DIM,
+                    "feat_md5": [
+                        hashlib.md5(
+                            ",".join(str(x) for x in v).encode()
+                        ).hexdigest()
+                        for v in feats
+                    ],
+                    "feat_sum": [sum(v) for v in feats],
+                }
+            )
+
+    return pages.select("doc_id", "html").mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def feature_stub_sql(d: str, html_expr: str) -> str:
+    """Closed-form oracle: re-derive the window checksums from the
+    payload length and hash the same comma-joined rendering."""
+    blen = f"CAST(octet_length({html_expr}) AS BIGINT)"
+    vec = (
+        f"list_transform(generate_series(0, {FEATURE_DIM - 1}), "
+        f"j -> (({blen} // {FEATURE_DIM} + j) * 2654435761) % 1000000007)"
+    )
+    return f"""
+SELECT doc_id,
+       CAST({FEATURE_DIM} AS INT) AS feat_dim,
+       md5(array_to_string({vec}, ',')) AS feat_md5,
+       CAST(list_sum({vec}) AS BIGINT) AS feat_sum
+FROM documents
 """.strip()

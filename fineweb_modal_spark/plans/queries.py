@@ -1680,6 +1680,15 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_features", multimodal.feature_stub_sql(D, _HTML_DUCK))
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extract stub — the fourth of the decode/resize/frames/
+    feature quartet: per-payload deterministic 8-dim vector projected
+    to hashable scalars (md5 + sum), closed-form oracle."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=True)
+    return multimodal.feature_stub(p)
+
+
 @register("multimodal_resize", multimodal.resize_stub_sql(D, _HTML_DUCK))
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize stub chained after the decode stub (two mapInPandas

@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mode", default="batch", choices=["batch", "resume", "incremental"])
     ap.add_argument("--granularity", default="day", choices=["day", "minute"])
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument(
+        "--gopher", action="store_true",
+        help="also apply the gopher repetition/structure battery: keep "
+             "becomes quality AND gopher, first battery's reason wins",
+    )
     args = ap.parse_args(argv)
 
     # Import AFTER spark-submit has placed the --py-files zip on the path.
@@ -62,8 +67,31 @@ def main(argv: list[str] | None = None) -> int:
         out = {"mode": "incremental", "rows_this_increment": n}
     else:
         def build(s):
+            df = pl.run_pipeline(s, args.input)
+            if args.gopher:
+                from fineweb_modal_spark.operators import gopher
+
+                carry = (
+                    "url", "warc_ts", "doc_id", "lang_pred",
+                    "scrubbed_text", "text", "q_keep", "q_reason",
+                )
+                g = gopher.with_gopher_keep(
+                    gopher.with_gopher_signals(
+                        df.withColumnRenamed("keep", "q_keep")
+                        .withColumnRenamed("drop_reason", "q_reason"),
+                        key_cols=carry,
+                    )
+                )
+                df = g.select(
+                    "url", "warc_ts", "doc_id", "lang_pred", "scrubbed_text",
+                    (F.col("q_keep") & F.col("keep")).alias("keep"),
+                    F.when(~F.col("q_keep"), F.col("q_reason"))
+                    .when(~F.col("keep"), F.col("drop_reason"))
+                    .otherwise(F.lit(None))
+                    .alias("drop_reason"),
+                )
             return sinks.with_partition_cols(
-                pl.run_pipeline(s, args.input), granularity=args.granularity
+                df, granularity=args.granularity
             ).select(
                 "url", "ds", "salt", "doc_id", "lang_pred", "keep",
                 "drop_reason", "scrubbed_text",

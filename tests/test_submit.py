@@ -62,3 +62,36 @@ def test_spark_submit_pipeline(tmp_path):
     assert os.path.isdir(os.path.join(out_dir, "_manifest"))
     ds_dirs = [d for d in os.listdir(out_dir) if d.startswith("ds=")]
     assert len(ds_dirs) == metrics["partitions_committed"]
+
+
+def test_job_gopher_flag(spark, tmp_path):
+    """--gopher composes the second battery into the shipped job:
+    output schema unchanged, keep implies quality-keep (combined rule
+    can only drop more)."""
+    import jobs.run_pipeline as job
+
+    out = str(tmp_path / "job_gopher_out")
+    rc = job.main(
+        ["--input", "/root/testdata/sf0.001", "--output", out,
+         "--mode", "batch", "--granularity", "minute", "--gopher"]
+    )
+    assert rc == 0
+    from fineweb_modal_spark import sinks
+
+    got = sinks.read_output(spark, out)
+    assert {"url", "ds", "salt", "doc_id", "lang_pred", "keep",
+            "drop_reason", "scrubbed_text"} <= set(got.columns)
+    n = got.count()
+    assert n > 0
+    # plain run keeps a superset of the combined run's keeps
+    out2 = str(tmp_path / "job_plain_out")
+    assert job.main(
+        ["--input", "/root/testdata/sf0.001", "--output", out2,
+         "--mode", "batch", "--granularity", "minute"]
+    ) == 0
+    plain = {
+        r.url: r.keep for r in sinks.read_output(spark, out2).collect()
+    }
+    for r in got.collect():
+        if r.keep:
+            assert plain[r.url], r.url
