@@ -101,8 +101,11 @@ def asof_join_broadcast(
         ).alias("__versions")
     )
     out = facts.join(F.broadcast(varr), on=key, how="left")
+    # try_element_at: under ANSI mode (Spark 4 default) element_at(-1)
+    # on an EMPTY filtered array throws instead of returning NULL — a
+    # fact before any version must yield NULL like the window plan
     pick = F.expr(
-        f"element_at(filter(__versions, v -> v.ts <= {facts_ts}), -1)"
+        f"try_element_at(filter(__versions, v -> v.ts <= {facts_ts}), -1)"
     )
     out = out.withColumn("__pick", pick).drop("__versions")
     for c in value_cols:

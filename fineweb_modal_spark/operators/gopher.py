@@ -14,6 +14,7 @@ sorted bigram array) — ZERO shuffle, embarrassingly parallel at
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..functions import sqldialect as sd
 from ..spec import gopher_rules as gr
@@ -75,12 +76,21 @@ def toks_expr(col: str, d: str) -> str:
 
 
 def lines_expr(col: str, d: str) -> str:
-    """Non-blank trimmed lines."""
+    """Non-blank trimmed lines. Trimming uses the spec's EXPLICIT
+    ASCII class (gopher_rules.LINE_STRIP_CHARS), not SQL trim() —
+    trim() strips spaces only, so CRLF corpora would keep a trailing
+    '\\r' on every line and break the suffix/prefix signals."""
     nl = sd.esc(r"\n", d)
+    cls = r"[ \t\f\r\x0B]+"
+    pat = sd.esc(f"^{cls}|{cls}$", d)
     split = (
         f"split({col}, '{nl}')" if d == S else f"regexp_split_to_array({col}, '{nl}')"
     )
-    return _flt(_tf(split, "l -> trim(l)", d), "l -> l <> ''", d)
+    if d == S:
+        trim_l = f"l -> regexp_replace(l, '{pat}', '')"
+    else:
+        trim_l = f"l -> regexp_replace(l, '{pat}', '', 'g')"
+    return _flt(_tf(split, trim_l, d), "l -> l <> ''", d)
 
 
 def bigrams_expr(toks: str, d: str) -> str:
@@ -318,3 +328,27 @@ def with_gopher_keep(sig: DataFrame) -> DataFrame:
     return sig.selectExpr(
         "*", f"({reason}) IS NULL AS keep", f"{reason} AS drop_reason"
     )
+
+
+def compose_keep(
+    df: DataFrame, carry: tuple[str, ...], text_col: str = "text"
+) -> DataFrame:
+    """Compose the quality battery's keep/drop (already on `df` as
+    keep/drop_reason) with the gopher battery: combined keep is the
+    conjunction, the FIRST battery's reason wins. Single source for
+    the composition used by the webtext gate, the streaming gate, and
+    the spark-submit job — returns `carry` + keep + drop_reason."""
+    renamed = df.withColumnRenamed("keep", "q_keep").withColumnRenamed(
+        "drop_reason", "q_reason"
+    )
+    keys = tuple(dict.fromkeys((*carry, text_col, "q_keep", "q_reason")))
+    g = with_gopher_keep(
+        with_gopher_signals(renamed, text_col=text_col, key_cols=keys)
+    )
+    keep = F.col("q_keep") & F.col("keep")
+    reason = (
+        F.when(~F.col("q_keep"), F.col("q_reason"))
+        .when(~F.col("keep"), F.col("drop_reason"))
+        .otherwise(F.lit(None))
+    )
+    return g.select(*carry, keep.alias("keep"), reason.alias("drop_reason"))

@@ -185,8 +185,10 @@ def bucket_expr(col: str = "embedding") -> Column:
     pack. Replaces the former posexplode(embedding)→join(planes)→
     groupBy(vec,p) formulation, which shuffled n×dims rows (a 64×
     row blowup) for what is per-row arithmetic."""
+    weights = _plane_weights()
+    dims = len(weights[0])
     terms = []
-    for p, row in enumerate(_plane_weights()):
+    for p, row in enumerate(weights):
         arr = "array(" + ", ".join(
             f"CAST({w:.1f} AS DOUBLE)" for w in row
         ) + ")"
@@ -198,7 +200,17 @@ def bucket_expr(col: str = "embedding") -> Column:
             f"(CASE WHEN ({dot}) > 0 THEN CAST({1 << p} AS BIGINT) "
             f"ELSE CAST(0 AS BIGINT) END)"
         )
-    return F.expr(" + ".join(terms))
+    bucket = " + ".join(terms)
+    # dims guard: a shorter embedding NULL-pads every zip_with fold,
+    # every plane dot goes NULL, and ALL vectors silently land in
+    # bucket 0 — turning the bucket self-join into an O(n²) cross
+    # join. Fail loudly instead.
+    return F.expr(
+        f"CASE WHEN size({col}) <> {dims} THEN "
+        f"raise_error(concat('sign-LSH plane weights are {dims}-dim but "
+        f"embedding has ', CAST(size({col}) AS STRING), ' dims')) "
+        f"ELSE {bucket} END"
+    )
 
 
 def neardup_pairs_lsh(spark, emb_corpus: DataFrame) -> DataFrame:
@@ -435,6 +447,7 @@ def ivf_topk(
     centroids=None,
     cell_cap: int = CELL_CAP,
     query_cap: int = QUERY_CAP,
+    persist: bool = True,
 ) -> DataFrame:
     """Top-k cosine neighbors via the trained IVF index.
 
@@ -450,7 +463,13 @@ def ivf_topk(
     if centroids is None:
         centroids = train_ivf_centroids(emb)
     cent_ids, cent_mat = centroids
-    a = _assign_cells(emb, cent_ids, cent_mat, n_probe=n_probe).persist()
+    # persist: the assignment relation feeds the size computation AND
+    # both cogroup sides. Long-lived sessions issuing many queries
+    # should pass persist=False (or unpersist via spark.catalog) —
+    # each call otherwise pins a fresh copy in storage memory.
+    a = _assign_cells(emb, cent_ids, cent_mat, n_probe=n_probe)
+    if persist:
+        a = a.persist()
     assign = a.where(F.col("crank") == 1).select(
         "vec_id", "embedding", "vnorm", "cell"
     )
@@ -806,6 +825,7 @@ def ivf_pq_topk(
     n_probe: int = N_PROBE,
     centroids=None,
     codebooks=None,
+    persist: bool = True,
 ) -> DataFrame:
     """Top-k by APPROXIMATE inner product via IVF-PQ: probe the
     n_probe nearest cells, score candidates from their M-byte PQ codes
@@ -824,7 +844,9 @@ def ivf_pq_topk(
     np = _np()
     books = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, _, sub = books.shape
-    a = encode_and_assign_pq(emb, cent_ids, cent_mat, books, n_probe).persist()
+    a = encode_and_assign_pq(emb, cent_ids, cent_mat, books, n_probe)
+    if persist:  # see ivf_topk's persist note
+        a = a.persist()
     cand = a.where(F.col("crank") == 1).select(
         F.col("cell").alias("b_cell"), "vec_id", "codes"
     )

@@ -400,7 +400,7 @@ from ..spec import tokenizer as tokspec  # noqa: E402
 _TOKEN_IDS_ORACLE = f"""
 WITH t AS (
   SELECT doc_id,
-         list_filter({sd.ws_tokens("repeat(text || ' ', 20)", D)}, t -> t <> '') AS toks
+         list_filter({sd.ws_tokens("repeat(coalesce(text, '') || ' ', 20)", D)}, t -> t <> '') AS toks
   FROM documents
 ),
 nn AS (SELECT doc_id, toks, len(toks) AS n FROM t),
@@ -709,28 +709,16 @@ def q_webtext_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import scrub as scrub_mod
 
     p = pages_mod.load_pages(spark, sf_dir, with_html=False)
-    qk = quality.with_keep(quality.with_signals(p)).select(
+    qk = quality.with_keep(quality.with_signals(p))
+    composed = gopher.compose_keep(qk, carry=("doc_id", "text"))
+    return composed.select(
         "doc_id",
-        "text",
-        F.col("keep").alias("q_keep"),
-        F.col("drop_reason").alias("q_reason"),
-    )
-    gk = gopher.with_gopher_keep(
-        gopher.with_gopher_signals(
-            qk, key_cols=("doc_id", "text", "q_keep", "q_reason")
+        "keep",
+        "drop_reason",
+        F.when(
+            F.col("keep"),
+            scrub_mod.scrub_expr(F.coalesce("text", F.lit(""))),
         )
-    )
-    keep = F.col("q_keep") & F.col("keep")
-    reason = (
-        F.when(~F.col("q_keep"), F.col("q_reason"))
-        .when(~F.col("keep"), F.col("drop_reason"))
-        .otherwise(F.lit(None))
-    )
-    return gk.select(
-        "doc_id",
-        keep.alias("keep"),
-        reason.alias("drop_reason"),
-        F.when(keep, scrub_mod.scrub_expr(F.coalesce("text", F.lit(""))))
         .otherwise(F.lit(None))
         .alias("scrubbed_text"),
     )
@@ -1011,24 +999,9 @@ def q_quality_keep_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(f"{d}/documents")
     schema = spark.read.parquet(f"{d}/documents").schema
     stream = spark.readStream.schema(schema).parquet(f"{d}/documents")
-    qk = quality.with_keep(quality.with_signals(stream)).select(
-        "doc_id",
-        "text",
-        F.col("keep").alias("q_keep"),
-        F.col("drop_reason").alias("q_reason"),
-    )
-    gk = gopher_mod.with_gopher_keep(
-        gopher_mod.with_gopher_signals(
-            qk, key_cols=("doc_id", "text", "q_keep", "q_reason")
-        )
-    )
-    out = gk.select(
-        "doc_id",
-        (F.col("q_keep") & F.col("keep")).alias("keep"),
-        F.when(~F.col("q_keep"), F.col("q_reason"))
-        .when(~F.col("keep"), F.col("drop_reason"))
-        .otherwise(F.lit(None))
-        .alias("drop_reason"),
+    qk = quality.with_keep(quality.with_signals(stream))
+    out = gopher_mod.compose_keep(qk, carry=("doc_id",)).select(
+        "doc_id", "keep", "drop_reason"
     )
     name = f"gate_keep_stream_{tag}"
     q = (

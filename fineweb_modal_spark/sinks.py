@@ -134,6 +134,7 @@ def write_partition(
         "out_chars": int(m["out_chars"] or 0),
         "wall_s": round(time.monotonic() - t0, 3),
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "commit_seq": time.time_ns(),
         **(extra_lineage or {}),
     }
     _write_manifest_row(spark, out_dir, row)
@@ -181,8 +182,16 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
     m = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(out_dir, MANIFEST_DIR)
     )
+    if "commit_seq" not in m.columns:  # pre-upgrade manifests
+        m = m.withColumn("commit_seq", F.lit(None).cast("long"))
+    # committed_at has 1-second resolution — commit_seq (time_ns) breaks
+    # same-second ties (e.g. a compaction right after its write); rows
+    # from pre-upgrade manifests have NULL seq and lose ties, which is
+    # the correct supersedence order
     w = F.row_number().over(
-        Window.partitionBy("ds").orderBy(F.desc("committed_at"))
+        Window.partitionBy("ds").orderBy(
+            F.desc("committed_at"), F.desc_nulls_last("commit_seq")
+        )
     )
     return m.withColumn("__rn", w).where("__rn = 1").drop("__rn")
 
@@ -228,17 +237,24 @@ def compact_partition(
     rename, and appends a superseding manifest row (op='compact') so
     time-travel reads stay consistent. Returns the manifest row."""
     import shutil
-    import tempfile
+    import uuid
 
     pdir = os.path.join(out_dir, f"ds={ds}")
     n_before = len(partition_files(out_dir, ds))
     t0 = time.monotonic()
     df = spark.read.parquet(pdir)
-    tmp = tempfile.mkdtemp(prefix="compact_") + "/part"
+    # compacted copy is written NEXT TO the partition (same filesystem,
+    # so the swap below is two cheap renames, never a cross-fs copy)
+    tag = uuid.uuid4().hex[:8]
+    tmp = os.path.join(out_dir, f"_compact_{tag}")
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     n_rows = spark.read.parquet(tmp).count()
-    shutil.rmtree(pdir)
-    shutil.move(tmp, pdir)
+    # move-aside-then-delete: a crash mid-swap leaves either the old
+    # dir in place or recoverable at the aside path — never zero copies
+    aside = os.path.join(out_dir, f"_compact_old_{tag}")
+    os.rename(pdir, aside)
+    os.rename(tmp, pdir)
+    shutil.rmtree(aside)
     row = {
         "ds": ds,
         "sink": "parquet",
@@ -248,6 +264,7 @@ def compact_partition(
         "n_files_after": len(partition_files(out_dir, ds)),
         "wall_s": round(time.monotonic() - t0, 3),
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "commit_seq": time.time_ns(),
     }
     _write_manifest_row(spark, out_dir, row)
     return row

@@ -64,6 +64,12 @@ DROP_REASONS = [
 _WS = re.compile(r"\s+")
 _ALPHA = re.compile(r"[A-Za-z]")
 
+# Line-edge whitespace class, pinned to an EXPLICIT ASCII set so the
+# Python spec, Spark (java regex) and DuckDB (RE2) renderings strip
+# identically — engine \s classes disagree with Python's unicode
+# str.strip() (the CRLF '\r' edge is the case real crawls hit).
+LINE_STRIP_CHARS = " \t\f\r\x0b"
+
 
 def _tokens(text: str) -> list[str]:
     t = (text or "").strip()
@@ -71,7 +77,11 @@ def _tokens(text: str) -> list[str]:
 
 
 def _lines(text: str) -> list[str]:
-    return [ln.strip() for ln in (text or "").split("\n") if ln.strip()]
+    return [
+        ln.strip(LINE_STRIP_CHARS)
+        for ln in (text or "").split("\n")
+        if ln.strip(LINE_STRIP_CHARS)
+    ]
 
 
 def _top_bigram_frac(tokens: list[str]) -> float:

@@ -71,24 +71,12 @@ def main(argv: list[str] | None = None) -> int:
             if args.gopher:
                 from fineweb_modal_spark.operators import gopher
 
-                carry = (
-                    "url", "warc_ts", "doc_id", "lang_pred",
-                    "scrubbed_text", "text", "q_keep", "q_reason",
-                )
-                g = gopher.with_gopher_keep(
-                    gopher.with_gopher_signals(
-                        df.withColumnRenamed("keep", "q_keep")
-                        .withColumnRenamed("drop_reason", "q_reason"),
-                        key_cols=carry,
-                    )
-                )
-                df = g.select(
-                    "url", "warc_ts", "doc_id", "lang_pred", "scrubbed_text",
-                    (F.col("q_keep") & F.col("keep")).alias("keep"),
-                    F.when(~F.col("q_keep"), F.col("q_reason"))
-                    .when(~F.col("keep"), F.col("drop_reason"))
-                    .otherwise(F.lit(None))
-                    .alias("drop_reason"),
+                df = gopher.compose_keep(
+                    df,
+                    carry=(
+                        "url", "warc_ts", "doc_id", "lang_pred",
+                        "scrubbed_text",
+                    ),
                 )
             return sinks.with_partition_cols(
                 df, granularity=args.granularity

@@ -186,6 +186,7 @@ GOPHER_TEXTS = [
     "one two\nthree four…\n- five six ...",                       # mixed
     "Home\nAbout\nAll rights reserved. Subscribe to our newsletter now\nContact",  # boilerplate
     "A full sentence ends here.\nAnother proper sentence follows!\nDoes this one too?",  # punct lines
+    "crlf line one.\r\ncrlf line two!\r\n\t\r\n- tabbed bullet\t\r",  # CRLF + tab edges
     None,                                                         # NULL text
 ]
 

@@ -374,3 +374,19 @@ def test_ivf_pq_recall_vs_brute_force(spark):
     assert planted
     hits = sum(1 for q in planted if top1[q] == q - 100000)
     assert hits / len(planted) >= 0.9, hits / len(planted)
+
+
+def test_asof_broadcast_null_before_any_version(spark):
+    """A fact earlier than every dim version must yield NULL, not an
+    ANSI element_at crash (regression: try_element_at on the empty
+    filtered version array)."""
+    from fineweb_modal_spark.operators import asof as asof_op
+
+    facts = spark.createDataFrame(
+        [(1, 1, "2020-01-01 00:00:00")], "event_id long, k long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    dim = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 5.0)], "k long, rate_ts string, rate double"
+    ).withColumn("rate_ts", F.col("rate_ts").cast("timestamp"))
+    got = asof_op.asof_join_broadcast(facts, dim, key="k").collect()
+    assert len(got) == 1 and got[0].rate is None

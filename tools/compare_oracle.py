@@ -20,7 +20,7 @@ import numpy as np
 
 
 def _norm_cell(v):
-    if v is None or v is np.nan and not isinstance(v, float):
+    if v is None:
         return "\0"
     if isinstance(v, (bool, np.bool_)):
         return str(int(v))
@@ -30,7 +30,10 @@ def _norm_cell(v):
     # here too instead of "244" == "244.0" silently passing.
     if isinstance(v, (float, np.floating)):
         if math.isnan(v):
-            return "nan"
+            # pandas uses NaN as the missing marker in numeric columns,
+            # so a DuckDB NULL must hash like Spark's None (no gate
+            # legitimately computes NaN as a value)
+            return "\0"
         return f"f{v:.6g}"
     if isinstance(v, (int, np.integer)):
         return str(int(v))
