@@ -19,12 +19,34 @@ def esc(pattern: str, d: str) -> str:
     return pattern.replace("\\", "\\\\") if d == SPARK else pattern
 
 
+# Edge-whitespace set pinned to EXPLICIT ASCII chars: SQL trim()
+# strips spaces ONLY, so tab/CR/LF-edged text (CRLF crawls!) would keep
+# edge whitespace and grow a phantom empty first/last token vs the
+# Python spec's str.strip(). (Unicode spaces are out of scope by spec —
+# the same ASCII pin as gopher_rules.LINE_STRIP_CHARS.)
+#
+# Rendered as a chr() concat so neither dialect's string-literal escape
+# rules matter, and implemented with the CHAR-SET trim (btrim), NOT a
+# regex: a regexp_replace here measurably degraded work conservation at
+# high core counts (java-regex char classes thrash shared caches — the
+# same effect the round-1 translate/token-length fix removed).
+WS_EDGE_CHARS = " \t\n\x0b\f\r"
+_WS_SET_SQL = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+
+
+def ws_trim(col: str, d: str) -> str:
+    """strip() analog: remove leading/trailing ASCII whitespace."""
+    if d == SPARK:
+        return f"btrim({col}, {_WS_SET_SQL})"
+    return f"trim({col}, {_WS_SET_SQL})"
+
+
 def ws_tokens(col: str, d: str) -> str:
-    """Whitespace token array of trimmed text ('' → ['']) — callers
+    """Whitespace token array of stripped text ('' → ['']) — callers
     guard the empty case explicitly (see n_words_sql)."""
     if d == SPARK:
-        return f"split(trim({col}), '\\\\s+')"
-    return f"regexp_split_to_array(trim({col}), '\\s+')"
+        return f"split({ws_trim(col, d)}, '\\\\s+')"
+    return f"regexp_split_to_array({ws_trim(col, d)}, '\\s+')"
 
 
 def arr_len(e: str, d: str) -> str:
@@ -61,7 +83,7 @@ def token_len_sum(toks: str, d: str) -> str:
 
 def n_words_sql(col: str, d: str) -> str:
     return (
-        f"CASE WHEN length(trim({col})) = 0 THEN 0 "
+        f"CASE WHEN length({ws_trim(col, d)}) = 0 THEN 0 "
         f"ELSE {arr_len(ws_tokens(col, d), d)} END"
     )
 

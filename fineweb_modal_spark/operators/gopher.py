@@ -81,15 +81,17 @@ def lines_expr(col: str, d: str) -> str:
     trim() strips spaces only, so CRLF corpora would keep a trailing
     '\\r' on every line and break the suffix/prefix signals."""
     nl = sd.esc(r"\n", d)
-    cls = r"[ \t\f\r\x0B]+"
-    pat = sd.esc(f"^{cls}|{cls}$", d)
     split = (
         f"split({col}, '{nl}')" if d == S else f"regexp_split_to_array({col}, '{nl}')"
     )
-    if d == S:
-        trim_l = f"l -> regexp_replace(l, '{pat}', '')"
-    else:
-        trim_l = f"l -> regexp_replace(l, '{pat}', '', 'g')"
+    # char-set trim (non-regex — see sd.ws_trim's perf note); lines
+    # carry no interior \n so the shared whitespace set is equivalent
+    # to the spec's LINE_STRIP_CHARS
+    trim_l = (
+        f"l -> btrim(l, {sd._WS_SET_SQL})"
+        if d == S
+        else f"l -> trim(l, {sd._WS_SET_SQL})"
+    )
     return _flt(_tf(split, trim_l, d), "l -> l <> ''", d)
 
 

@@ -22,7 +22,11 @@ _TOKS = "__toks"
 
 
 def _tokens(text: Column) -> Column:
-    return F.split(F.trim(text), r"\s+")
+    # ws-strip, not trim(): SQL trim strips SPACES only, so tab/CR/LF
+    # edges (CRLF crawls) would grow a phantom empty edge token vs the
+    # Python spec's str.strip(). btrim (char-set, non-regex) — a regex
+    # trim here degraded work conservation at high core counts.
+    return F.split(F.btrim(text, F.lit(sd.WS_EDGE_CHARS)), r"\s+")
 
 
 def with_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -35,7 +39,8 @@ def with_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.col(_TOKS)
-    n_words = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(toks))
+    stripped = F.btrim(text, F.lit(sd.WS_EDGE_CHARS))
+    n_words = F.when(F.length(stripped) == 0, F.lit(0)).otherwise(F.size(toks))
     stop_arr = [F.lit(s) for s in qr.STOPWORDS]
     out = (
         df.withColumn(_TOKS, _tokens(text))

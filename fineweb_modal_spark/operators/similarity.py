@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Three paths, per the training-data-toolbox contract:
+Four paths, per the training-data-toolbox contract:
 
 * `cosine_topk` — brute-force cosine top-k: the correctness baseline.
   Self-join (broadcast when one side fits) + window row_number. At
@@ -19,12 +19,16 @@ Three paths, per the training-data-toolbox contract:
   matmul scoring with hard caps on block size — so no pandas group
   ever materializes more than CELL_CAP×QUERY_CAP work regardless of
   corpus size or cell skew.
+* `ivf_pq_topk` — IVF-PQ: the same coarse index plus per-subspace
+  product-quantization codebooks; candidates ship M small codes
+  instead of d floats through the cell shuffle, scored by per-query
+  ADC lookup tables.
 
-The reference's nearest analog is the LanceDB IVF-PQ index build
-(lancer.py:203-216, SURVEY.md S11) — num_partitions=int(n**0.5),
-metric=cosine, trained on the data. `train_ivf_centroids` +
-`build_ivf_index` reproduce that contract (sampled training,
-sqrt(n) cells, persisted centroid table) on Spark.
+The reference's index is the LanceDB IVF-PQ build (lancer.py:203-216,
+SURVEY.md S11) — num_partitions=int(n**0.5), metric=cosine, trained
+on the data. `train_ivf_centroids` + `train_pq_codebooks` +
+`build_ivf_index` reproduce that contract (sampled training, sqrt(n)
+cells, PQ compression, persisted centroid table) on Spark.
 """
 
 from __future__ import annotations

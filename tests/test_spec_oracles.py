@@ -136,7 +136,13 @@ def test_quality_sql_renderings_null_text(spark):
 
     from fineweb_modal_spark.functions import sqldialect as sd
 
-    fixtures = [(0, None), (1, ""), (2, "the quick brown fox is here and it is fine")]
+    fixtures = [
+        (0, None),
+        (1, ""),
+        (2, "the quick brown fox is here and it is fine"),
+        (3, "\tthe tab edged text is here\r"),   # CRLF/tab edges
+        (4, " \t\r\n "),                         # whitespace-only
+    ]
 
     # Spark operator path
     df = spark.createDataFrame(fixtures, "doc_id long, text string")
@@ -171,6 +177,23 @@ def test_quality_sql_renderings_null_text(spark):
         assert got_duck[i] == want, (i, got_duck[i], want)
         assert got_spark_sql[i] == want, (i, got_spark_sql[i], want)
     assert got_spark[0] == (False, "too_few_words")
+
+    # n_words parity on whitespace-EDGED text (SQL trim() strips spaces
+    # only — the ws_trim fix keeps all three renderings on str.strip())
+    nw_spark = {
+        r.doc_id: r.n_words
+        for r in quality.with_signals(df).select("doc_id", "n_words").collect()
+    }
+    nw_duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            quality.signals_sql(sd.DUCKDB, table="t", round_out=False)
+        ).fetchall()
+    }
+    for i, text in fixtures:
+        want_n = quality_rules.signals_py(text or "")["n_words"]
+        assert nw_spark[i] == want_n, (i, nw_spark[i], want_n)
+        assert nw_duck[i] == want_n, (i, nw_duck[i], want_n)
 
 
 GOPHER_TEXTS = [
