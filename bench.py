@@ -138,6 +138,12 @@ def bench(sf_dir: str) -> dict:
     times = _run_once(spark, sf_dir)
     total = round(sum(times.values()), 3)
     docs_per_sec = round(n_docs / times["pipeline_full"], 1)
+    # Registry counts straight from the entry module — BASELINE.md /
+    # COVERAGE.md quote these, so drift is machine-checked per round.
+    import __spark_entry__ as entrymod
+
+    n_reg = len(entrymod.queries())
+    n_oracled = len(entrymod.oracle_sql())
     return {
         "metric": "headline_queries_wall_sec",
         "value": total,
@@ -146,6 +152,8 @@ def bench(sf_dir: str) -> dict:
         "sf": sf_dir,
         "n_docs": n_docs,
         "pipeline_docs_per_sec": docs_per_sec,
+        "registry_queries": n_reg,
+        "registry_oracled": n_oracled,
         "scaling": _latest_scaling(),
         "scaling_ref": (
             "embedded `scaling` = latest `python bench.py --scaling` run "

@@ -274,6 +274,17 @@ def resolve_clusters(
         labels = jumped
         if changed == 0:
             break
+    else:
+        # max_iters exhausted with labels still moving: the labels are
+        # NOT component minima — returning them would hand callers a
+        # wrong keeper mapping with no signal. With pointer jumping,
+        # max_iters=12 covers diameters up to ~2^12, so hitting this
+        # means a pathological graph, not a tuning issue.
+        raise RuntimeError(
+            f"resolve_clusters did not converge within {max_iters} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iters — partial labels are not a valid dedup result"
+        )
     return labels.select("doc_id", F.col("label").alias("keeper_doc_id"))
 
 

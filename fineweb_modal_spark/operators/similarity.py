@@ -467,13 +467,15 @@ def ivf_topk(
     if centroids is None:
         centroids = train_ivf_centroids(emb)
     cent_ids, cent_mat = centroids
-    # persist: the assignment relation feeds the size computation AND
-    # both cogroup sides. Long-lived sessions issuing many queries
-    # should pass persist=False (or unpersist via spark.catalog) —
-    # each call otherwise pins a fresh copy in storage memory.
+    # persist=True materializes the assignment relation ONCE via
+    # localCheckpoint — it feeds the size computation AND both cogroup
+    # sides. localCheckpoint (not .persist()): blocks are auto-released
+    # by the ContextCleaner when the relation is dropped, so repeated
+    # calls in a long session neither pin storage memory per call nor
+    # trip CacheManager "already cached" plan matching.
     a = _assign_cells(emb, cent_ids, cent_mat, n_probe=n_probe)
     if persist:
-        a = a.persist()
+        a = a.localCheckpoint(eager=False)
     assign = a.where(F.col("crank") == 1).select(
         "vec_id", "embedding", "vnorm", "cell"
     )
@@ -709,8 +711,8 @@ FROM rankedq WHERE rank <= {k}
 # ---------------------------------------------------------------------------
 # IVF-PQ: product-quantization compression for the candidate payload —
 # the reference's actual index type (lancer.py:203-216 builds IVF-PQ).
-# Candidates ship M uint8 codes instead of d floats (64x smaller at
-# d=64, M=8); scoring is an ADC lookup-table gather per query.
+# Candidates ship M=PQ_M uint8 codes instead of d floats (16 bytes vs
+# 256 at d=64, M=16); scoring is an ADC lookup-table gather per query.
 # ---------------------------------------------------------------------------
 
 PQ_M = 16  # subspaces (sub = d/M = 4 dims each at d=64)
@@ -850,7 +852,7 @@ def ivf_pq_topk(
     m, _, sub = books.shape
     a = encode_and_assign_pq(emb, cent_ids, cent_mat, books, n_probe)
     if persist:  # see ivf_topk's persist note
-        a = a.persist()
+        a = a.localCheckpoint(eager=False)
     cand = a.where(F.col("crank") == 1).select(
         F.col("cell").alias("b_cell"), "vec_id", "codes"
     )

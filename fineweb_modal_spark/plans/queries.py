@@ -1115,7 +1115,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the reference's ACTUAL index type (lancer.py:203-216):
     coarse sqrt(n) cells + per-subspace product-quantization codebooks;
-    candidates ship M=8 codes instead of 64 floats through the cell
+    candidates ship M=16 codes instead of 64 floats through the cell
     shuffle, scored by per-query ADC lookup tables. Oracle re-derives
     coarse index, codebooks, codes, and ADC scores relationally."""
     emb = load_table(spark, sf_dir, "embeddings")

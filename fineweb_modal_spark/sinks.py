@@ -137,6 +137,11 @@ def write_partition(
         "commit_seq": time.time_ns(),
         **(extra_lineage or {}),
     }
+    if sink == "iceberg":
+        # recorded so read_output can locate iceberg-committed partitions
+        # (they have no parquet directory under out_dir); omitted on the
+        # parquet path — mergeSchema widens reads across row shapes
+        row["iceberg_table"] = tbl
     _write_manifest_row(spark, out_dir, row)
     return row
 
@@ -170,9 +175,59 @@ def resume_run(
 
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.option("basePath", out_dir).parquet(
-        os.path.join(out_dir, "ds=*")
+    """All committed partitions, across sinks.
+
+    Partitions committed through the Iceberg branch leave no parquet
+    directory under out_dir — reading only the parquet layout would
+    silently drop them. The manifest's sink/iceberg_table columns say
+    where each ds actually lives: parquet partitions come off the
+    directory scan, iceberg partitions are read from their table and
+    unioned by name. An iceberg manifest row whose table can no longer
+    be resolved raises instead of returning partial data."""
+    def _parquet_scan() -> DataFrame:
+        return spark.read.option("basePath", out_dir).parquet(
+            os.path.join(out_dir, "ds=*")
+        )
+
+    try:
+        man = read_manifest(spark, out_dir)
+    except Exception:  # noqa: BLE001 — no manifest yet: plain directory scan
+        return _parquet_scan()
+    if "sink" not in man.columns:
+        return _parquet_scan()
+    ice_rows = man.where(F.col("sink") == "iceberg").select(
+        "ds", *(["iceberg_table"] if "iceberg_table" in man.columns else [])
+    ).collect()
+    if not ice_rows:
+        return _parquet_scan()
+    have_parquet_ds = any(
+        str(r.ds) not in {str(i.ds) for i in ice_rows}
+        for r in man.select("ds").collect()
     )
+    out = _parquet_scan() if have_parquet_ds else None
+    by_table: dict[str, list[str]] = {}
+    for r in ice_rows:
+        tbl = getattr(r, "iceberg_table", None)
+        if not tbl:
+            raise RuntimeError(
+                f"manifest records ds={r.ds} committed to iceberg but no "
+                "iceberg_table column — cannot locate the data; refusing "
+                "to return partial output"
+            )
+        by_table.setdefault(str(tbl), []).append(str(r.ds))
+    for tbl, ds_list in by_table.items():
+        try:
+            ice = spark.table(tbl).where(F.col("ds").isin(ds_list))
+        except Exception as e:  # noqa: BLE001
+            raise RuntimeError(
+                f"manifest records partitions {ds_list} committed to "
+                f"iceberg table {tbl!r}, which is not resolvable in this "
+                "session — refusing to return partial output"
+            ) from e
+        out = ice if out is None else out.unionByName(
+            ice, allowMissingColumns=True
+        )
+    return out
 
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -283,6 +338,11 @@ def vacuum_manifest(spark: SparkSession, out_dir: str) -> int:
     latest.coalesce(1).write.mode("overwrite").parquet(tmp)
     import shutil
 
-    shutil.rmtree(mpath)
+    # move-aside-then-delete (same discipline as compact_partition): a
+    # crash mid-swap leaves the manifest either in place or recoverable
+    # at the aside path — never destroyed
+    aside = mpath + "__vacuum_old"
+    os.rename(mpath, aside)
     shutil.move(tmp, mpath)
+    shutil.rmtree(aside)
     return int(n_removed)

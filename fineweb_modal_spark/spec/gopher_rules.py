@@ -61,18 +61,23 @@ DROP_REASONS = [
     "high_boilerplate_line_ratio",
 ]
 
-_WS = re.compile(r"\s+")
+# Whitespace pinned to an EXPLICIT ASCII class — NOT \s / str.strip(),
+# whose Unicode awareness (U+00A0, U+2028, ...) would make this Python
+# spec diverge from both SQL renderings, which are pinned to the same
+# ASCII set. One definition of "whitespace" across all three engines.
+WS_EDGE_CHARS = " \t\n\x0b\f\r"
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 _ALPHA = re.compile(r"[A-Za-z]")
 
-# Line-edge whitespace class, pinned to an EXPLICIT ASCII set so the
-# Python spec, Spark (java regex) and DuckDB (RE2) renderings strip
-# identically — engine \s classes disagree with Python's unicode
-# str.strip() (the CRLF '\r' edge is the case real crawls hit).
+# Line-edge whitespace class (no \n: lines are the split product), same
+# ASCII pin so the Python spec, Spark (java regex) and DuckDB (RE2)
+# renderings strip identically — the CRLF '\r' edge is the case real
+# crawls hit.
 LINE_STRIP_CHARS = " \t\f\r\x0b"
 
 
 def _tokens(text: str) -> list[str]:
-    t = (text or "").strip()
+    t = (text or "").strip(WS_EDGE_CHARS)
     return _WS.split(t) if t else []
 
 

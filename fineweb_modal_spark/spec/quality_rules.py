@@ -43,12 +43,15 @@ DROP_REASONS = [
     "low_distinct_ratio",
 ]
 
-_WS = re.compile(r"\s+")
+# ASCII-pinned whitespace — one definition across Python spec, Spark
+# and DuckDB renderings (see gopher_rules.WS_EDGE_CHARS rationale)
+WS_EDGE_CHARS = " \t\n\x0b\f\r"
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def signals_py(text: str) -> dict:
     """Pure-Python oracle of the per-document quality signals."""
-    t = (text or "").strip()
+    t = (text or "").strip(WS_EDGE_CHARS)
     tokens = _WS.split(t) if t else []
     n_words = len(tokens)
     n_chars = len(text or "")

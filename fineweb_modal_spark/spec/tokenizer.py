@@ -19,14 +19,17 @@ OVERLAP = int(MAX_TOKENS * OVERLAP_FRAC)  # 50
 STRIDE = MAX_TOKENS - OVERLAP  # 450
 MIN_CHUNK_TOKENS = 50  # the namesake filter, reference filter.py:50
 
-_WS = re.compile(r"\s+")
+# ASCII-pinned whitespace — one definition across Python spec, Spark
+# and DuckDB renderings (see gopher_rules.WS_EDGE_CHARS rationale)
+WS_EDGE_CHARS = " \t\n\x0b\f\r"
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def tokenize(text: str) -> list[str]:
     """Whitespace tokens; empty/blank text → []."""
     if not text:
         return []
-    t = text.strip()
+    t = text.strip(WS_EDGE_CHARS)
     if not t:
         return []
     return _WS.split(t)
