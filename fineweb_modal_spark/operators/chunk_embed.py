@@ -35,6 +35,11 @@ SCHEMA = StructType(
         StructField("chunk_text", StringType()),
         StructField("chunk_token_count", IntegerType()),
         StructField("embedding", ArrayType(FloatType())),
+        # exact Σc² of the pre-normalization integer bucket counts:
+        # lets downstream gates recover the exact counts from the
+        # float vector (c_j = round(v_j·√norm_sq)) for float-parity-
+        # free oracle comparison
+        StructField("norm_sq", LongType()),
     ]
 )
 
@@ -54,7 +59,7 @@ def chunk_and_embed(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     idxs.append(ch["chunk_index"])
                     texts.append(ch["chunk_text"])
                     counts.append(ch["chunk_token_count"])
-            mat = embed_model.embed_batch(texts)
+            mat, norm_sqs, _sigs = embed_model.embed_batch_with_sig(texts)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -62,6 +67,7 @@ def chunk_and_embed(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     "chunk_text": texts,
                     "chunk_token_count": pd.Series(counts, dtype="int32"),
                     "embedding": list(mat),
+                    "norm_sq": pd.Series(norm_sqs, dtype="int64"),
                 }
             )
 

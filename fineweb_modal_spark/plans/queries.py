@@ -394,13 +394,14 @@ from ..operators import binpack, dedup, multimodal, similarity, textstats  # noq
 from ..spec import hashing as H  # noqa: E402
 from ..spec import tokenizer as tokspec  # noqa: E402
 
-# Int-ID chunker mode: the oracle re-derives the hermetic md5-vocab ids
-# AND the reference's window spans (chunker.py:77-95 incl. tail drop)
-# relationally, then compares per-chunk id sums.
-_TOKEN_IDS_ORACLE = f"""
-WITH t AS (
+# DuckDB CTE chain re-deriving the chunker's window spans
+# (chunker.py:77-95 semantics incl. the >=OVERLAP tail rule) over
+# documents text repeated `repeat_n`× — shared by the int-ID and
+# chunk→embed oracles.
+def _chunk_spans_ctes(repeat_n: int) -> str:
+    return f"""t AS (
   SELECT doc_id,
-         list_filter({sd.ws_tokens("repeat(coalesce(text, '') || ' ', 20)", D)}, t -> t <> '') AS toks
+         list_filter({sd.ws_tokens(f"repeat(coalesce(text, '') || ' ', {repeat_n})", D)}, t -> t <> '') AS toks
   FROM documents
 ),
 nn AS (SELECT doc_id, toks, len(toks) AS n FROM t),
@@ -416,7 +417,13 @@ spans AS (
   FROM sel WHERE least(s + {tokspec.MAX_TOKENS}, n) - s >= {tokspec.OVERLAP}
   UNION ALL
   SELECT doc_id, toks, 0, 0, n FROM nn WHERE n <= {tokspec.MAX_TOKENS}
-)
+)"""
+
+
+# Int-ID chunker mode: the oracle re-derives the hermetic md5-vocab ids
+# AND the window spans relationally, then compares per-chunk id sums.
+_TOKEN_IDS_ORACLE = f"""
+WITH {_chunk_spans_ctes(20)}
 SELECT doc_id, chunk_index,
        CAST(e - s AS INT) AS chunk_token_count,
        CAST(coalesce(list_sum(list_transform(
@@ -1056,31 +1063,81 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators import embed as embed_op  # noqa: E402
 
 
-@register("embed_documents")
+from ..spec import embed_model as embspec  # noqa: E402
+
+# The embed model hashes grams with the portable 60-bit md5 hash, so
+# the oracle re-derives the WHOLE embedding relationally: exact
+# integer bucket counts → norm_sq = Σc² (BIGINT) + sig = md5 of the
+# ordered nonzero counts. These two fully determine the float vector
+# (v_j = c_j/√norm_sq) with zero float-parity risk; emb_norm is then
+# sqrt of the SAME integer in both engines (correctly-rounded IEEE op
+# → bit-identical doubles).
+_EMBED_ORACLE = f"""
+SELECT doc_id, norm_sq, sig,
+       round(sqrt(CAST(norm_sq AS DOUBLE)), 6) AS emb_norm
+FROM ({embspec.signature_sql(D)})
+"""
+
+
+@register("embed_documents", _EMBED_ORACLE)
 def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U4/U5 embed stage (embed-tei.py:205-334) as an Arrow UDF column —
-    rows-only gate; spec-parity asserted in tests/test_embed.py."""
+    """U4/U5 embed stage (embed-tei.py:205-334) as an Arrow UDF column,
+    hash-gated via the exact-integer signature projection; float-vector
+    spec-parity asserted in tests/test_embed.py."""
     docs = load_table(spark, sf_dir, "documents")
-    e = embed_op.with_embedding(docs.select("doc_id", "text"))
-    # Scalar projection (md5 of the JSON rendering + rounded L2 norm):
-    # the driver's canonicalizer hashes cell values, so array columns
-    # must be folded to hashable scalars for the gate.
+    e = embed_op.with_embedding_sig(docs.select("doc_id", "text"))
     return e.select(
         "doc_id",
-        F.md5(F.to_json(F.col("embedding"))).alias("emb_md5"),
-        F.round(
-            F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)), 6
-        ).alias("emb_norm"),
+        "norm_sq",
+        "sig",
+        F.round(F.sqrt(F.col("norm_sq").cast("double")), 6).alias("emb_norm"),
     )
 
 
-@register("chunk_embed_topk")
+_CHUNK_EMBED_ORACLE = f"""
+WITH {_chunk_spans_ctes(8)},
+chunks AS (
+  SELECT doc_id * 1000 + chunk_index AS vec_id,
+         array_to_string(toks[CAST(s + 1 AS BIGINT):CAST(e AS BIGINT)], ' ') AS chunk_text
+  FROM spans
+),
+counts AS ({embspec.counts_sql(D, table="chunks", text_col="chunk_text", key_cols="vec_id")}),
+norms AS (SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS norm_sq FROM counts GROUP BY vec_id),
+feats AS (
+  SELECT vec_id, norm_sq, unnest(generate_series(0, {embspec.DIM - 1})) AS feature
+  FROM norms
+),
+dense AS (
+  SELECT f.vec_id, f.norm_sq, f.feature, coalesce(c.c, 0) AS c
+  FROM feats f LEFT JOIN counts c ON c.vec_id = f.vec_id AND c.j = f.feature
+),
+act AS (
+  SELECT *, CASE WHEN norm_sq > 0
+                 THEN CAST(c AS DOUBLE) / sqrt(CAST(norm_sq AS DOUBLE))
+                 ELSE 0.0 END AS activation
+  FROM dense
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY feature ORDER BY activation DESC, vec_id) AS INT) AS rank
+  FROM act
+)
+SELECT feature, vec_id, c, norm_sq, round(activation, 6) AS activation, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("chunk_embed_topk", _CHUNK_EMBED_ORACLE)
 def q_chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's whole pipeline (chunk → embed → two-phase topk,
     SURVEY §3.1-3.3) as ONE Catalyst plan with ONE Python stage: three
     scripts, two Modal fan-outs and a sidecar .npy collapse into
     scan → fused mapInPandas (operators/chunk_embed.py) → posexplode →
-    window."""
+    window. Gate floats go through exact integers: the per-dim count
+    c_j is recovered from the float vector (round(v_j·√norm_sq) is
+    exact for |c| ≪ 2²⁴), and activation = c/√norm_sq is then the SAME
+    correctly-rounded double in Spark and DuckDB — ordering, ranks and
+    rounded values hash identically."""
     from ..operators.chunk_embed import chunk_and_embed
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1089,9 +1146,30 @@ def q_chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedded = chunk_and_embed(docs).withColumn(
         "vec_id", F.col("doc_id") * 1000 + F.col("chunk_index")
     )
-    t = topk.topk_per_feature(embedded.select("vec_id", "embedding"), k=5)
-    return t.select(
-        "feature", "vec_id", F.round("activation", 6).alias("activation"), "rank"
+    ex = embedded.select(
+        "vec_id", "norm_sq", F.posexplode("embedding").alias("feature", "val")
+    )
+    ex = ex.withColumn(
+        "c",
+        F.when(F.col("norm_sq") > 0,
+               F.round(F.col("val").cast("double")
+                       * F.sqrt(F.col("norm_sq").cast("double"))))
+        .otherwise(F.lit(0)).cast("long"),
+    ).withColumn(
+        "activation",
+        F.when(F.col("norm_sq") > 0,
+               F.col("c").cast("double")
+               / F.sqrt(F.col("norm_sq").cast("double")))
+        .otherwise(F.lit(0.0)),
+    )
+    w = Window.partitionBy("feature").orderBy(F.desc("activation"), F.asc("vec_id"))
+    return (
+        ex.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "feature", "vec_id", "c", "norm_sq",
+            F.round("activation", 6).alias("activation"), "rank",
+        )
     )
 
 

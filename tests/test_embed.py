@@ -80,3 +80,39 @@ def test_fused_chunk_embed_equals_unfused(spark):
             np.asarray(fused[k][2], dtype=np.float32),
             np.asarray(unfused[k][2], dtype=np.float32),
         )
+
+
+def test_signature_matches_python_spec_and_vector(spark):
+    """with_embedding_sig: (norm_sq, sig) match signature_one, and the
+    float vector is exactly counts/sqrt(norm_sq) in float32."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(50)
+    rows = embed_op.with_embedding_sig(docs).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for r in rows:
+        ns, sig = embed_model.signature_one(texts[r.doc_id] or "")
+        assert (r.norm_sq, r.sig) == (ns, sig)
+        c = embed_model.counts_one(texts[r.doc_id] or "")
+        assert int((c * c).sum()) == r.norm_sq
+        # exact count recovery from the float vector (the trick the
+        # chunk_embed_topk gate relies on)
+        if ns > 0:
+            v = np.asarray(r.embedding, dtype=np.float64)
+            rec = np.round(v * np.sqrt(float(ns))).astype(np.int64)
+            np.testing.assert_array_equal(rec, c)
+
+
+def test_signature_spark_sql_rendering_matches_udf(spark):
+    """The SPARK dialect rendering of signature_sql must agree with the
+    pandas-UDF path — same anti-drift guarantee the DuckDB oracle gets
+    from the gate."""
+    from fineweb_modal_spark.functions import sqldialect as sd
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(80)
+    docs.createOrReplaceTempView("__sig_docs")
+    sql = embed_model.signature_sql(sd.SPARK, table="__sig_docs")
+    via_sql = {r.doc_id: (r.norm_sq, r.sig) for r in spark.sql(sql).collect()}
+    via_udf = {
+        r.doc_id: (r.norm_sq, r.sig)
+        for r in embed_op.with_embedding_sig(docs).collect()
+    }
+    assert via_sql == via_udf
