@@ -177,14 +177,27 @@ FROM ({inner})
 """.strip()
 
 
-def keep_sql(d: str, table: str = "documents", text_col: str = "text", key_cols: str = "doc_id") -> str:
-    """keep/drop decision rendered over the signal subquery."""
+def keep_sql(
+    d: str,
+    table: str = "documents",
+    text_col: str = "text",
+    key_cols: str = "doc_id",
+    stop_gate: str | None = None,
+) -> str:
+    """keep/drop decision rendered over the signal subquery.
+
+    stop_gate: optional SQL boolean restricting the stopword rule
+    (keep_expr's lang_col analog — e.g. "lang_pred = 'en'"; the
+    referenced column must be carried through key_cols)."""
     sig = signals_sql(d, table=table, text_col=text_col, key_cols=key_cols, round_out=False)
+    stop_when = f"stopword_ratio < {qr.MIN_STOPWORD_RATIO}"
+    if stop_gate is not None:
+        stop_when = f"({stop_gate}) AND {stop_when}"
     reason = f"""CASE
   WHEN n_words < {qr.MIN_WORDS} THEN 'too_few_words'
   WHEN n_words > {qr.MAX_WORDS} THEN 'too_many_words'
   WHEN mean_word_len < {qr.MIN_MEAN_WORD_LEN} OR mean_word_len > {qr.MAX_MEAN_WORD_LEN} THEN 'mean_word_len_out_of_range'
-  WHEN stopword_ratio < {qr.MIN_STOPWORD_RATIO} THEN 'low_stopword_ratio'
+  WHEN {stop_when} THEN 'low_stopword_ratio'
   WHEN digit_ratio > {qr.MAX_DIGIT_RATIO} THEN 'high_digit_ratio'
   WHEN distinct_ratio < {qr.MIN_DISTINCT_RATIO} THEN 'low_distinct_ratio'
   ELSE NULL END"""

@@ -1825,25 +1825,80 @@ def q_topk_sparse_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("pipeline_scored")
+from ..spec import langid_model as lidspec  # noqa: E402
+
+# Full relational re-derivation of the north-rule DAG: langid label via
+# the exact-integer argmax rendering (lidspec.langid_select_sql), ppl
+# via the quantized-table walk (order-free-exact sums → bit-identical
+# exp operands), keep via the lang-gated rule battery, scrub via the
+# shared regex chain. lang_conf (float32 softmax) is the one column
+# with no exact SQL form — it stays out of the gate projection and is
+# spec-checked in tests/test_pipeline.py instead.
+_PIPE_CTES = f"""pages AS ({pages_mod.pages_select_sql(D, with_html=False)}),
+lang AS ({{LANG}}),
+pl AS (SELECT p.doc_id, p.url, p.text, l.lang_pred
+       FROM pages p JOIN lang l USING (doc_id)),
+k AS ({{KEEP}}),
+sc AS (SELECT doc_id, {scrub.scrub_sql("text", D)} AS scrubbed_text FROM pages)"""
+_PIPE_CTES = _PIPE_CTES.replace(
+    "{LANG}",
+    lidspec.langid_select_sql(D, table="pages", text_col="text", key_cols="doc_id"),
+).replace(
+    "{KEEP}",
+    quality.keep_sql(
+        D,
+        table="pl",
+        text_col="text",
+        key_cols="doc_id, url, lang_pred",
+        stop_gate="lang_pred = 'en'",
+    ),
+)
+
+_PIPELINE_SCORED_ORACLE = f"""
+WITH {_PIPE_CTES},
+ppl AS ({qr.ppl_select_sql(table="pages", text_col="text", key_cols="doc_id")})
+SELECT k.url, k.doc_id, k.lang_pred, round(ppl.ppl, 6) AS ppl,
+       k.keep, k.drop_reason, sc.scrubbed_text
+FROM k JOIN ppl USING (doc_id) JOIN sc USING (doc_id)
+"""
+
+
+@register("pipeline_scored", _PIPELINE_SCORED_ORACLE)
 def q_pipeline_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship langid→quality→ppl→keep→scrub DAG, row-level
-    output (entry() exposes the rollup; this exposes the rows).
-    Spec-parity is enforced in tests/test_pipeline.py (F1 ≥ 0.99,
-    byte-identical scrub)."""
+    output (entry() exposes the rollup; this exposes the rows),
+    hash-gated against the full relational re-derivation. lang_conf is
+    emitted by the pipeline but not by this gate (float32 softmax has
+    no exact SQL form); its spec parity is enforced in
+    tests/test_pipeline.py."""
     from . import pipeline as pl
 
     return pl.run_pipeline(spark, sf_dir).select(
-        "url", "doc_id", "lang_pred", F.round("lang_conf", 4).alias("lang_conf"),
+        "url", "doc_id", "lang_pred",
         F.round("ppl", 6).alias("ppl"), "keep", "drop_reason", "scrubbed_text",
     )
 
 
-@register("committed_write_roundtrip")
+_WRITE_ROUNDTRIP_ORACLE = f"""
+WITH {_PIPE_CTES}
+SELECT strftime(date_trunc('minute', p.warc_ts), '%Y-%m-%d-%H-%M') AS ds,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(sum(length(sc.scrubbed_text)) AS BIGINT) AS out_chars
+FROM pages p
+JOIN k ON k.doc_id = p.doc_id
+JOIN sc ON sc.doc_id = p.doc_id
+GROUP BY 1
+"""
+
+
+@register("committed_write_roundtrip", _WRITE_ROUNDTRIP_ORACLE)
 def q_committed_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the scored corpus through the committed partitioned sink
     (salted, manifest + lineage rows) into a temp table, then return
-    the manifest — the write layer driven end-to-end inside the gate."""
+    the manifest — the write layer driven end-to-end inside the gate,
+    its per-partition counts re-derived relationally by the oracle
+    (covers S6/S9/A5: the manifest metrics ARE the observe() output)."""
     import tempfile
 
     from .. import sinks

@@ -66,6 +66,9 @@ GRAM_WEIGHT = np.float32(1.5)
 CJK_WEIGHT = np.float32(5.0)
 
 _CJK_RE = re.compile("[一-鿿㐀-䶿]")
+# ASCII-pinned whitespace run (same class as the SQL renderings —
+# see gopher_rules.WS_EDGE_CHARS rationale)
+_WS_RUN = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def build_weights():
@@ -102,10 +105,14 @@ def predict_batch(texts: list[str], model=None) -> tuple[list[str], np.ndarray]:
         if isinstance(texts, pd.Series)
         else pd.Series(texts, dtype="object")
     ).fillna("")
-    toks = s.str.lower().str.split()
-    n_words = toks.str.len().to_numpy(np.int64)
-    joined = toks.str.join(" ")
+    # ASCII-pinned whitespace normalization (same class as the SQL
+    # rendering): collapse runs to one space + strip — `joined` is then
+    # the space-joined token string directly, and split(' ') recovers
+    # the tokens without a second regex pass.
+    joined = s.str.lower().str.replace(_WS_RUN, " ", regex=True).str.strip(" ")
     lens = joined.str.len().to_numpy(np.int64)
+    toks = joined.str.split(" ")
+    n_words = np.where(lens == 0, 0, toks.str.len().to_numpy(np.int64))
     tok_chars = lens - np.maximum(n_words - 1, 0)
     cjk = joined.str.count(_CJK_RE).to_numpy(np.int64)
     # per token 2L+2 features (1 word, L+1 bigrams, L trigrams of '<w>')
@@ -143,3 +150,113 @@ def predict_one(text: str) -> tuple[str, float]:
 
 
 _MODEL = build_weights()
+
+
+# ---------------------------------------------------------------------------
+# SQL rendering of lang_pred (both dialects) — the relational argmax.
+#
+# The prediction is EXACTLY re-derivable in integer arithmetic: every
+# weight is a multiple of 0.5 (3.0 / 1.5 / 5.0), so 2×score is the
+# integer 6·wordhits + 3·gramhits (+10·cjk for zh), and the float32
+# L1 normalization divides all languages by the SAME positive
+# n_feats — argmax over the integers equals the model's float argmax
+# (ties broken by LANGS index order, mirrored by CASE order). The
+# softmax confidence is float-only and deliberately NOT rendered.
+#
+# Gram-count identity: occurrence counting via replace() is
+# NON-overlapping, the model's regex lookahead count is overlapping;
+# they agree because every char lexicon entry is border-free (no
+# proper prefix == suffix), asserted below at import time.
+# ---------------------------------------------------------------------------
+
+
+def _has_border(g: str) -> bool:
+    return any(g[:k] == g[-k:] for k in range(1, len(g)))
+
+
+for _lang, _grams in CHAR_LEXICONS.items():
+    for _g in _grams:
+        assert len(_g) == 1 or not _has_border(_g), (
+            f"char gram {_g!r} is self-overlapping; replace-count "
+            "rendering would undercount vs the regex lookahead spec"
+        )
+
+
+def langid_select_sql(
+    d: str,
+    table: str = "documents",
+    text_col: str = "text",
+    key_cols: str = "doc_id",
+) -> str:
+    """SELECT key_cols, lang_pred — mirrors predict_batch's label."""
+    from ..functions import sqldialect as sd
+
+    # joined = ws-collapsed + stripped lowercase text (ASCII ws class)
+    ws_run = "[ " + chr(9) + chr(10) + chr(11) + chr(12) + chr(13) + "]+"
+    collapsed = sd.regexp_replace_all(
+        f"lower(coalesce({text_col}, ''))", ws_run, " ", d
+    )
+    if d == sd.SPARK:
+        joined = f"btrim({collapsed}, ' ')"
+    else:
+        joined = f"trim({collapsed}, ' ')"
+
+    nw = (
+        "CASE WHEN length(joined) = 0 THEN 0 ELSE "
+        "length(joined) - length(replace(joined, ' ', '')) + 1 END"
+    )
+    cjk_pat = "[一-鿿㐀-䶿]"
+    cjk = (
+        f"length(joined) - length({sd.regexp_replace_all('joined', cjk_pat, '', d)})"
+    )
+
+    def word_hits(lang: str) -> str:
+        if not LEXICONS[lang]:
+            return "0"
+        in_list = ", ".join(f"'{w}'" for w in LEXICONS[lang])
+        toks = "split(joined, ' ')" if d == sd.SPARK else "string_split(joined, ' ')"
+        filt = sd.arr_filter(toks, f"t -> t IN ({in_list})", d)
+        return sd.arr_len(filt, d)
+
+    def gram_hits(lang: str) -> str:
+        gs = CHAR_LEXICONS[lang]
+        if not gs:
+            return "0"
+        terms = []
+        for g in gs:
+            lit = g.replace("'", "''")
+            terms.append(
+                f"(length(joined) - length(replace(joined, '{lit}', ''))) / {len(g)}"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    score_cols = []
+    for lang in LANGS[:-1]:
+        parts = [f"6 * ({word_hits(lang)})", f"3 * ({gram_hits(lang)})"]
+        if lang == "zh":
+            parts.append("10 * cjk")
+        score_cols.append(
+            f"CAST({' + '.join(parts)} AS BIGINT) AS s_{lang}"
+        )
+
+    best = "greatest(s_en, s_fr, s_de, s_es, s_zh)"
+    pred_case = (
+        f"CASE WHEN n_feats < 3 OR {best} <= 0 THEN 'und' "
+        + " ".join(
+            f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in LANGS[:-1]
+        )
+        + " ELSE 'und' END"
+    )
+
+    base = f"SELECT {key_cols}, {joined} AS joined FROM {table}"
+    # cjk referenced twice (zh score + n_feats) — stage it as a column
+    with_cjk = f"SELECT {key_cols}, joined, {cjk} AS cjk FROM ({base})"
+    inner = (
+        f"SELECT {key_cols}, joined, cjk, "
+        f"CAST(2 * length(replace(joined, ' ', '')) + 2 * ({nw}) + cjk AS BIGINT) AS n_feats "
+        f"FROM ({with_cjk})"
+    )
+    scored = (
+        f"SELECT {key_cols}, n_feats, {', '.join(score_cols)} FROM ({inner})"
+    )
+    return f"SELECT {key_cols}, {pred_case} AS lang_pred FROM ({scored})"

@@ -113,8 +113,19 @@ def _seed_corpus() -> str:
     return " ".join(words)
 
 
+# Log-prob quantum: table values are rounded to multiples of 2^-18.
+# |logp| < 8 needs 3 integer bits, so quantized values hold exactly in
+# float32 (21 < 24 mantissa bits) AND any sum of < 2^35 of them is
+# EXACT in float64 — summation order stops mattering, which is what
+# lets a SQL oracle reproduce the engine's perplexity bit-for-bit
+# (numpy pairwise sum vs SQL sequential sum would otherwise differ in
+# the last ulps).
+PPL_QUANT = 1 << 18
+
+
 def build_bigram_logprobs():
-    """(A, A) float32 log P(c2|c1), Laplace-smoothed, from the seed corpus."""
+    """(A, A) float32 log P(c2|c1), Laplace-smoothed, from the seed
+    corpus; values quantized to multiples of 1/PPL_QUANT (see above)."""
     import numpy as np
 
     counts = np.ones((_A, _A), dtype=np.float64)  # Laplace
@@ -123,6 +134,7 @@ def build_bigram_logprobs():
     for a, b in zip(norm, norm[1:]):
         counts[a, b] += 1.0
     logp = np.log(counts / counts.sum(axis=1, keepdims=True))
+    logp = np.round(logp * PPL_QUANT) / PPL_QUANT
     return logp.astype(np.float32)
 
 
@@ -181,3 +193,57 @@ def perplexity_batch(texts, logp=None):
         lp = logp[idx[:-1], idx[1:]].astype(np.float64)
         out[i] = math.exp(-lp.sum() / (len(idx) - 1))
     return out
+
+
+def ppl_select_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    key_cols: str = "doc_id",
+) -> str:
+    """DuckDB rendering of the perplexity walk (oracle side only — the
+    engine side is the fused scoring UDF, which is what the gate
+    tests).
+
+    The quantized table (see PPL_QUANT) is inlined as a VALUES
+    relation with exact decimal literals; per-bigram lookups join
+    against it and SUM exactly (order-free by construction), so
+    exp(-S/(n-1)) sees bit-identical operands in both engines."""
+    import numpy as np
+
+    logp = _logp_table()
+    rows = ", ".join(
+        f"({a + 1}, {b + 1}, {float(np.float64(logp[a, b]))!r})"
+        for a in range(_A)
+        for b in range(_A)
+    )
+    alpha = _ALPHABET.replace("'", "''")
+
+    def idx(e: str) -> str:
+        return (
+            f"CASE WHEN strpos('{alpha}', {e}) = 0 THEN {_A} "
+            f"ELSE strpos('{alpha}', {e}) END"
+        )
+
+    return f"""
+WITH __ppl_tbl(a, b, v) AS (SELECT * FROM (VALUES {rows})),
+__ppl_base AS (
+  SELECT {key_cols}, lower(coalesce({text_col}, '')) AS s,
+         length(lower(coalesce({text_col}, ''))) AS n
+  FROM {table}
+),
+__ppl_pairs AS (
+  SELECT {key_cols}, n,
+         {idx("substr(s, CAST(i AS INT), 1)")} AS a,
+         {idx("substr(s, CAST(i AS INT) + 1, 1)")} AS b
+  FROM (SELECT {key_cols}, n, s, unnest(generate_series(1, n - 1)) AS i
+        FROM __ppl_base WHERE n >= 2)
+),
+__ppl_sums AS (
+  SELECT {key_cols}, any_value(n) AS n, sum(t.v) AS sv
+  FROM __ppl_pairs p JOIN __ppl_tbl t ON t.a = p.a AND t.b = p.b
+  GROUP BY {key_cols}
+)
+SELECT {key_cols}, exp(-sv / (n - 1)) AS ppl FROM __ppl_sums
+UNION ALL
+SELECT {key_cols}, CAST({_A} AS DOUBLE) AS ppl FROM __ppl_base WHERE n < 2
+""".strip()
