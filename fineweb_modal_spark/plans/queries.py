@@ -1472,6 +1472,100 @@ def q_fts_postings_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scored keyword search over the inverted index — the reference's
+# "search the indexed table" capability (lancer.py:197-201 builds the
+# FTS index; this is the query side). Scoring is BM25-SHAPED with a
+# RATIONAL idf (n_docs/df) instead of the ln() form: every input is an
+# exact integer (tf, dl, df, N, total token count), every op is a
+# correctly-rounded IEEE +,·,/ written as the SAME expression text in
+# both engines — so scores are bit-identical doubles and the gate can
+# hash them rounded. (ln is libm-dependent across JVM/C and would
+# reintroduce float-parity risk for zero ranking benefit here.)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+# (1 - b + b·dl/avgdl) with avgdl = total_len/n_docs, pre-folded:
+_BM25_SCORE_SQL = (
+    f"(CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0}) / "
+    f"(CAST(tf AS DOUBLE) + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * "
+    "(CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(total_len AS DOUBLE)))) * "
+    "(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))"
+)
+_FTS_TOPK = 10
+_FTS_NTERMS = 5
+
+_FTS_SEARCH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+tf_tbl AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dl_tbl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+df_tbl AS (SELECT tok, count(*) AS df FROM tf_tbl GROUP BY tok),
+stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dl_tbl),
+terms AS (SELECT tok, df FROM df_tbl ORDER BY df DESC, tok LIMIT {_FTS_NTERMS}),
+scored AS (
+  SELECT t.tok, f.doc_id, f.tf, d.dl, t.df,
+         {_BM25_SCORE_SQL} AS score
+  FROM tf_tbl f
+  JOIN terms t ON f.tok = t.tok
+  JOIN dl_tbl d ON f.doc_id = d.doc_id
+  CROSS JOIN stats
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY tok ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored
+)
+SELECT tok, doc_id, tf, dl, df, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= {_FTS_TOPK}
+"""
+
+
+@register("fts_search_topk", _FTS_SEARCH_ORACLE)
+def q_fts_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search over the FTS index: top-10 docs per query term
+    under BM25-shaped scoring. Query terms are the corpus's 5
+    highest-df tokens (deterministic, tie-broken by token), so the
+    gate is self-contained.
+
+    Scale shape: tf/df/dl are partial-agg counts (no posting-list
+    collect anywhere); terms and the 1-row corpus stats broadcast; the
+    per-term ranking is ONE window that Spark executes as
+    WindowGroupLimit (partial top-k per map partition BEFORE the
+    shuffle), so a hot term never funnels its full posting list
+    through one reducer."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    terms = df_tbl.orderBy(F.desc("df"), F.asc("tok")).limit(_FTS_NTERMS)
+    scored = (
+        tf.join(F.broadcast(terms), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("score", F.expr(_BM25_SCORE_SQL))
+    )
+    w = Window.partitionBy("tok").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _FTS_TOPK)
+        .select(
+            "tok", "doc_id", "tf", "dl", "df",
+            F.round("score", 6).alias("score"), "rank",
+        )
+    )
+
+
 _QUANTILES_ORACLE = """
 SELECT source,
        round(quantile_cont(n_chars, 0.5), 6) AS p50,

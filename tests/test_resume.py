@@ -199,3 +199,55 @@ def test_manifest_schema_evolution_reads_merged(spark, tmp_path):
     # non-compacted partitions still carry their write metrics
     other = [r for r in man.collect() if r.ds != ds]
     assert other and all(r.n_keep is not None for r in other)
+
+
+def test_read_output_refuses_partial_when_iceberg_unresolvable(spark, tmp_path):
+    """A manifest recording an iceberg-committed partition whose table
+    cannot be resolved must make read_output RAISE, not silently return
+    only the parquet partitions (reader blindness to iceberg commits)."""
+    import pytest
+
+    out = str(tmp_path / "out_mixed")
+    sinks.resume_run(spark, _build, out)
+    n_parquet_ds = sinks.read_manifest(spark, out).count()
+    # forge an iceberg-committed partition row (a ds with no parquet dir)
+    sinks._write_manifest_row(
+        spark,
+        out,
+        {
+            "ds": "9999-01-01-00-00",
+            "sink": "iceberg",
+            "iceberg_table": "nosuchcat.db.docs",
+            "n_rows": 1,
+            "n_keep": 1,
+            "out_chars": 1,
+            "wall_s": 0.0,
+            "committed_at": "2099-01-01T00:00:00Z",
+            "commit_seq": 1,
+        },
+    )
+    with pytest.raises(RuntimeError, match="refusing to return partial"):
+        sinks.read_output(spark, out).count()
+    # resume must also treat the iceberg ds as committed (not rerun it)
+    assert "9999-01-01-00-00" in sinks.committed_partitions(spark, out)
+    assert sinks.read_manifest(spark, out).count() == n_parquet_ds + 1
+
+
+def test_vacuum_survives_and_is_crash_safe_layout(spark, tmp_path):
+    """vacuum keeps exactly the latest row per ds and leaves no
+    aside/temp directories behind (the crash-safe swap cleans up)."""
+    import os
+
+    out = str(tmp_path / "out_vac")
+    sinks.resume_run(spark, _build, out)
+    ds0 = sorted(sinks.committed_partitions(spark, out))[0]
+    sinks.compact_partition(spark, out, ds0)  # superseding row
+    removed = sinks.vacuum_manifest(spark, out)
+    assert removed >= 1
+    man = sinks.read_manifest(spark, out)
+    assert man.groupBy("ds").count().where("count > 1").count() == 0
+    leftovers = [
+        f for f in os.listdir(out)
+        if f.startswith("_manifest__vacuum")
+    ]
+    assert leftovers == []

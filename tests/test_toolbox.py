@@ -390,3 +390,21 @@ def test_asof_broadcast_null_before_any_version(spark):
     ).withColumn("rate_ts", F.col("rate_ts").cast("timestamp"))
     got = asof_op.asof_join_broadcast(facts, dim, key="k").collect()
     assert len(got) == 1 and got[0].rate is None
+
+
+def test_cluster_resolution_raises_on_iteration_exhaustion(spark):
+    """Exhausting max_iters with labels still moving must RAISE, not
+    return partial (wrong) keeper labels — silent non-convergence
+    would hand dedup a bad keeper mapping with no signal."""
+    import pytest
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.resolve_clusters(pairs, nodes, max_iters=2)
+    # and the same graph converges with room to iterate
+    res = dedup.resolve_clusters(pairs, nodes, max_iters=12).collect()
+    assert all(r.keeper_doc_id == 0 for r in res)
