@@ -223,9 +223,12 @@ def resolve_clusters(
     terminates in 2-3 rounds in practice. Per round: one shuffle of the
     (tiny, two-id) edge relation and one of the label relation;
     localCheckpoint truncates lineage so plans stay flat. The
-    convergence check is a count() per round — a scalar action, the
-    standard iterative-algorithm driver loop (not a data collect).
+    convergence check RIDES ON the round's own materialization job
+    (`df.observe` counting label changes) — no separate compare join
+    or count job per round.
     """
+    from pyspark.sql import Observation
+
     edges = pairs.select(
         F.col("doc_a").cast("long").alias("src"),
         F.col("doc_b").cast("long").alias("dst"),
@@ -237,7 +240,8 @@ def resolve_clusters(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("doc_id").cast("long").alias("label"),
     ).localCheckpoint()
-    for _ in range(max_iters):
+    changed = None
+    for it in range(max_iters):
         # (a) neighbor-min
         prop = (
             sym.join(labels, sym.src == labels.doc_id)
@@ -248,6 +252,7 @@ def resolve_clusters(
             labels.join(prop, labels.doc_id == prop.dst, "left")
             .select(
                 "doc_id",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
@@ -257,20 +262,24 @@ def resolve_clusters(
         parent = stepped.select(
             F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
         )
+        obs = Observation(f"cc_round_{it}")
         jumped = (
             stepped.join(parent, stepped.label == parent.p_id, "left")
             .select(
                 "doc_id",
+                "old_label",
                 F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
             )
-            .localCheckpoint()
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("old_label")).cast("long")
+                ).alias("n_changed"),
+            )
+            .drop("old_label")
+            .localCheckpoint()  # eager: materializes AND fires the observation
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = int(obs.get["n_changed"] or 0)
         labels = jumped
         if changed == 0:
             break
