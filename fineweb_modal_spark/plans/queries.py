@@ -1023,11 +1023,50 @@ def q_quality_keep_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("sessionize_stream")
+# Oracle for the stateful streaming sessionizer: the batch session
+# relation (identical gap rule) filtered by the EXACT emission
+# semantics of availableNow + EventTimeTimeout — a session is emitted
+# iff it was closed by a later event (every non-final session) OR its
+# event-time timeout (last + gap, ms-truncated) fell strictly below
+# the final watermark (global max event time, ms-truncated, − gap).
+# All comparisons are exact BIGINT millisecond arithmetic, mirroring
+# streaming/sessionize.py's `cur[1] // 1000 + GAP*1000` timeout and
+# Spark's ms watermark.
+_SESSION_STREAM_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), sess AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+         CAST(count(*) AS INT) AS n_events
+  FROM s GROUP BY user_id, sid
+), marked AS (
+  SELECT *, (sid = max(sid) OVER (PARTITION BY user_id)) AS is_final
+  FROM sess
+), wm AS (
+  SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events
+)
+SELECT user_id, session_start, session_end, n_events
+FROM marked, wm
+WHERE NOT is_final OR epoch_ms(session_end) + 1800000 < wm_ms
+"""
+
+
+@register("sessionize_stream", _SESSION_STREAM_ORACLE)
 def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandasWithState gap-sessionization (closed sessions);
-    rows-only gate — the batch-window equivalence is asserted in
-    tests/test_streaming.py."""
+    """applyInPandasWithState gap-sessionization (closed sessions),
+    hash-gated against the batch session relation filtered by the
+    exact availableNow emission rule (see _SESSION_STREAM_ORACLE);
+    batch-window equivalence also asserted in tests/test_streaming.py."""
     import tempfile
     import uuid
 
