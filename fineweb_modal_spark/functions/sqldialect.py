@@ -19,6 +19,15 @@ def esc(pattern: str, d: str) -> str:
     return pattern.replace("\\", "\\\\") if d == SPARK else pattern
 
 
+# Case-mapping parity envelope (applies to every lower() in the
+# renderings): Python/Java implement FULL Unicode lowercasing
+# (U+0130 'İ' → 2 chars, contextual final sigma for 'Σ'); DuckDB's
+# utf8proc uses the simple 1:1 mapping. Engine (pandas) and Spark
+# agree; the DuckDB oracle diverges on exactly those two code points,
+# which are out of spec — the same documented-envelope approach as
+# the ASCII whitespace pin below (found + pinned by the differential
+# hypothesis tests in tests/test_properties.py).
+
 # Edge-whitespace set pinned to EXPLICIT ASCII chars: SQL trim()
 # strips spaces ONLY, so tab/CR/LF-edged text (CRLF crawls!) would keep
 # edge whitespace and grow a phantom empty first/last token vs the

@@ -173,3 +173,90 @@ def test_top_bigram_frac_matches_counter(tokens):
     else:
         want = Counter(bigrams).most_common(1)[0][1] / len(bigrams)
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Differential properties: Python spec vs DuckDB SQL rendering on
+# GENERATED text (no Spark needed). These harden the gate oracles
+# against fixture-blindness — the gate only ever sees the sf corpora;
+# these see adversarial whitespace/unicode.
+# ---------------------------------------------------------------------------
+
+
+# Case-mapping parity envelope: Python/Java lower() implement full
+# Unicode lowercasing (U+0130 'İ' → 'i' + combining dot, contextual
+# final sigma for 'Σ'); DuckDB's utf8proc uses the simple 1:1 mapping.
+# The engine (pandas UDFs) and the Spark SQL renderings agree with
+# each other; only the DuckDB oracle diverges, and ONLY on these two
+# code points — the same documented-envelope approach as the ASCII
+# whitespace pin, so the differential strategy excludes them.
+_sql_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        categories=("L", "N", "P", "Zs"),
+        include_characters=" \t\n一的是é",
+        exclude_characters="İΣ",
+    ),
+    max_size=400,
+)
+
+
+def _duck_one_col(sql_fn, texts, cols):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({i}, '" + t.replace("'", "''") + "')"
+            for i, t in enumerate(texts)
+        )
+        + ") t(doc_id, text)"
+    )
+    sql = sql_fn()
+    return {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
+
+
+@given(st.lists(_sql_text, min_size=1, max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_embed_signature_sql_matches_python_spec(texts):
+    from fineweb_modal_spark.functions import sqldialect as sd
+
+    got = _duck_one_col(
+        lambda: embed_model.signature_sql(sd.DUCKDB, table="docs"),
+        texts,
+        ("norm_sq", "sig"),
+    )
+    for i, t in enumerate(texts):
+        assert got[i] == embed_model.signature_one(t)
+
+
+@given(st.lists(_sql_text, min_size=1, max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_langid_sql_matches_python_spec(texts):
+    from fineweb_modal_spark.functions import sqldialect as sd
+
+    got = _duck_one_col(
+        lambda: langid_model.langid_select_sql(sd.DUCKDB, table="docs"),
+        texts,
+        ("lang_pred",),
+    )
+    preds, _ = langid_model.predict_batch(texts)
+    for i in range(len(texts)):
+        assert got[i] == (preds[i],), (texts[i], got[i], preds[i])
+
+
+@given(st.lists(_sql_text, min_size=1, max_size=10))
+@settings(max_examples=40, deadline=None)
+def test_perplexity_sql_matches_python_spec(texts):
+    """Sums are exact by quantization; the final exp() may differ by
+    1 ulp between DuckDB and libm, so parity is asserted the way the
+    gate consumes it (round 6) plus a tight relative bound."""
+    got = _duck_one_col(
+        lambda: qr.ppl_select_sql(table="docs"), texts, ("ppl",)
+    )
+    for i, t in enumerate(texts):
+        want = qr.perplexity_py(t)
+        (g,) = got[i]
+        assert abs(g - want) <= 4e-15 * max(abs(want), 1.0), (t, g, want)
+        assert round(g, 6) == round(want, 6)
