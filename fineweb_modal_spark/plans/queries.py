@@ -1605,6 +1605,35 @@ def q_fts_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators import bloom as bloom_op  # noqa: E402
+
+_BLOOM_ORACLE = bloom_op.membership_oracle_sql(
+    seen_sql=f"SELECT {pages_mod.URL_SQL} AS url FROM documents WHERE doc_id % 4 <> 0",
+    cand_sql=f"SELECT {pages_mod.URL_SQL} AS url FROM documents",
+)
+
+
+@register("bloom_url_membership", _BLOOM_ORACLE)
+def q_bloom_url_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl membership: Bloom filter over the seen URL set
+    (docs with doc_id % 4 != 0 play the prior crawl), probed by the
+    full corpus. Build is one word-index shuffle (partial bit_or agg);
+    membership broadcasts the word relation — the 10^12-seen-URLs
+    dedup primitive where an anti-join would shuffle the corpus. No
+    false negatives by construction (tests); false positives are
+    deterministic (exact md5 arithmetic) and hash-checked by the
+    oracle's bit-identical re-derivation."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    urls = spark.sql(
+        f"SELECT doc_id, {pages_mod.URL_SQL} AS url FROM documents"
+    )
+    seen = urls.where(F.col("doc_id") % 4 != 0).select("url")
+    cand = urls.select("url")
+    filt = bloom_op.build_bloom(seen, "url")
+    return bloom_op.maybe_member(cand, filt, "url")
+
+
 _QUANTILES_ORACLE = """
 SELECT source,
        round(quantile_cont(n_chars, 0.5), 6) AS p50,

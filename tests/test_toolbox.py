@@ -408,3 +408,28 @@ def test_cluster_resolution_raises_on_iteration_exhaustion(spark):
     # and the same graph converges with room to iterate
     res = dedup.resolve_clusters(pairs, nodes, max_iters=12).collect()
     assert all(r.keeper_doc_id == 0 for r in res)
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    """Every seen key must report maybe_seen=true (Bloom guarantee);
+    false positives among unseen keys stay low at the default m/k."""
+    from fineweb_modal_spark.operators import bloom as bloom_op
+    from pyspark.sql import functions as F
+
+    keys = spark.range(2000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("url"), "id"
+    )
+    seen = keys.where(F.col("id") % 3 == 0).select("url")
+    filt = bloom_op.build_bloom(seen, "url")
+    verdict = {
+        r.url: r.maybe_seen
+        for r in bloom_op.maybe_member(keys.select("url"), filt, "url").collect()
+    }
+    fp = 0
+    for r in keys.collect():
+        if r.id % 3 == 0:
+            assert verdict[r.url], f"false negative for seen key {r.url}"
+        elif verdict[r.url]:
+            fp += 1
+    # ~667 keys in a 2^20-bit filter with k=3 → fp rate ≈ (kn/m)^k ~ 1e-8
+    assert fp <= 2, f"implausible false-positive count {fp}"
