@@ -1605,6 +1605,125 @@ def q_fts_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hypertable-style two-level rollup: the daily aggregate is computed
+# FROM the hourly relation (count-sum re-aggregation), not from raw
+# events — the continuous-aggregate reuse pattern that turns a
+# 100-TB daily report into a scan of the (tiny) hourly rollup. The
+# oracle aggregates raw directly: the re-aggregation must be exactly
+# equivalent (counts are integers; double sums agree to round-6).
+_ROLLUP_2LEVEL_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       count(DISTINCT date_trunc('hour', ts)) AS n_hours_active
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("events_rollup_2level", _ROLLUP_2LEVEL_ORACLE)
+def q_events_rollup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup derived from the hourly rollup (hypertable
+    continuous-aggregate shape): counts and sums re-aggregate
+    losslessly, and hours-active falls out as a count of hourly rows —
+    no second scan of the raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    return (
+        hourly.groupBy(F.to_date("hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 6).alias("sum_value"),
+            F.count("*").alias("n_hours_active"),
+        )
+    )
+
+
+# Range join (briefing's explicit custom-operator example): events
+# that fall inside another user's sessions. Oracle is DuckDB's plain
+# non-equi BETWEEN join — the bucketed plan must reproduce it exactly.
+_RANGE_JOIN_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+), sess AS (
+  SELECT user_id AS sess_user, session_id,
+         min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY user_id, session_id
+  HAVING user_id <= 4
+)
+SELECT sess.sess_user, sess.session_id,
+       count(*) AS n_overlap_events,
+       count(DISTINCT e.user_id) AS n_active_users,
+       CAST(sum(CASE WHEN e.user_id = sess.sess_user THEN 1 ELSE 0 END) AS BIGINT) AS n_own_events
+FROM sess JOIN events e
+  ON e.ts BETWEEN sess.session_start AND sess.session_end
+GROUP BY sess.sess_user, sess.session_id
+"""
+
+
+@register("events_in_sessions_range", _RANGE_JOIN_ORACLE)
+def q_events_in_sessions_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/rangejoin.py): all events
+    co-occurring with users 0-4's sessions. The oracle is the naive
+    BETWEEN join; the engine discretizes to 1800-s buckets so the
+    match is ONE equi-shuffle + refine instead of a nested-loop —
+    each qualifying pair meets in exactly one bucket (the point's),
+    so no dedup pass either."""
+    from ..operators.rangejoin import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("is_new").over(cum))
+    sess = (
+        marked.where(F.col("user_id") <= 4)
+        .groupBy(
+            F.col("user_id").alias("sess_user"), "session_id"
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    points = ev.select("ts", "event_id", "user_id")
+    j = bucketed_range_join(points, sess)
+    return j.groupBy("sess_user", "session_id").agg(
+        F.count("*").alias("n_overlap_events"),
+        F.countDistinct("user_id").alias("n_active_users"),
+        F.sum(
+            (F.col("user_id") == F.col("sess_user")).cast("int")
+        ).cast("long").alias("n_own_events"),
+    )
+
+
 from ..operators import bloom as bloom_op  # noqa: E402
 
 _BLOOM_ORACLE = bloom_op.membership_oracle_sql(

@@ -433,3 +433,43 @@ def test_bloom_membership_no_false_negatives(spark):
             fp += 1
     # ~667 keys in a 2^20-bit filter with k=3 → fp rate ≈ (kn/m)^k ~ 1e-8
     assert fp <= 2, f"implausible false-positive count {fp}"
+
+
+def test_bucketed_range_join_equals_naive(spark):
+    """Bucketed plan must equal the naive non-equi join exactly,
+    including boundary-inclusive semantics and multi-bucket spans."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fineweb_modal_spark.operators.rangejoin import bucketed_range_join
+
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=137 * i)) for i in range(400)],
+        "pid long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (
+                j,
+                base + dt.timedelta(seconds=900 * j),
+                base + dt.timedelta(seconds=900 * j + 3600 * (1 + j % 3)),
+            )
+            for j in range(40)
+        ],
+        "iid long, session_start timestamp, session_end timestamp",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in bucketed_range_join(pts, ivs, bucket_s=600).collect()
+    }
+    want = {
+        (r.pid, r.iid)
+        for r in pts.crossJoin(ivs)
+        .where(
+            F.col("ts").between(F.col("session_start"), F.col("session_end"))
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
