@@ -1605,6 +1605,48 @@ def q_fts_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators import countmin as cms_op  # noqa: E402
+
+_CMS_TOKS = (
+    "SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok "
+    "FROM documents WHERE length(trim(text)) > 0"
+)
+_CMS_ORACLE = f"""
+WITH est AS ({cms_op.estimate_oracle_sql(
+    items_sql=_CMS_TOKS,
+    keys_sql=f"SELECT tok FROM ({_CMS_TOKS}) GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 20",
+    key_col="tok",
+)}),
+exact AS (SELECT tok, count(*) AS exact_cnt FROM ({_CMS_TOKS}) GROUP BY tok)
+SELECT e.tok, x.exact_cnt, e.est,
+       CAST(e.est - x.exact_cnt AS BIGINT) AS overestimate
+FROM est e JOIN exact x ON x.tok = e.tok
+"""
+
+
+@register("cms_token_freq", _CMS_ORACLE)
+def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point estimates for the corpus's 20 most
+    frequent tokens, next to their exact counts (est ≥ exact always;
+    the gate hash-pins both). The sketch build is a fixed d×w partial
+    agg — the fixed-memory substitute for a full token groupBy when
+    only frequency screens are needed."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    cms = cms_op.build_cms(toks, "tok")
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    keys = exact.orderBy(F.desc("exact_cnt"), F.asc("tok")).limit(20).select("tok")
+    est = cms_op.estimate(keys, cms, "tok")
+    return est.join(exact, "tok").select(
+        "tok", "exact_cnt", "est",
+        (F.col("est") - F.col("exact_cnt")).cast("long").alias("overestimate"),
+    )
+
+
 # Hypertable-style two-level rollup: the daily aggregate is computed
 # FROM the hourly relation (count-sum re-aggregation), not from raw
 # events — the continuous-aggregate reuse pattern that turns a

@@ -473,3 +473,22 @@ def test_bucketed_range_join_equals_naive(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_cms_never_underestimates(spark):
+    """Count-min guarantee: est >= exact for EVERY key (not just the
+    gate's top-20), and est == exact when w is collision-free."""
+    from pyspark.sql import functions as F
+
+    from fineweb_modal_spark.operators import countmin as cms_op
+
+    docs = load_table(spark, SF, "documents").limit(100)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    cms = cms_op.build_cms(toks, "tok")
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    est = cms_op.estimate(exact.select("tok"), cms, "tok")
+    rows = est.join(exact, "tok").collect()
+    assert rows
+    assert all(r.est >= r.exact_cnt for r in rows)
