@@ -201,6 +201,140 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# n-gram Jaccard set-similarity join (prefix filtering, PPJoin-style;
+# Vernica/Carey/Li, "Efficient parallel set-similarity joins using
+# MapReduce", SIGMOD'10 — public algorithm). The EXACT counterpart to
+# the probabilistic MinHash path above: every pair with true shingle
+# Jaccard >= t is found (no false negatives), candidates are pruned by
+# the prefix-filter theorem instead of LSH banding.
+# ---------------------------------------------------------------------------
+
+# threshold 0.8 as an exact rational: ceil(t*n) = (n*NUM + DEN-1) div DEN
+# in pure integer arithmetic. 0.8 is not float-representable, and
+# ceil(0.8*5) evaluates to 5 in binary floating point (0.8*5 =
+# 4.000000000000000222) — which would shrink the prefix below the safe
+# bound and silently drop true pairs. Integers make the bound exact.
+NGRAM_T_NUM = 4
+NGRAM_T_DEN = 5
+
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """All pairs with exact n-gram (3-shingle) Jaccard >= 4/5, via
+    prefix filtering: (doc_a, doc_b, n_a, n_b, jaccard).
+
+    Plan shape (scale-first):
+      1. per-row shingle-hash sets — one scan, zero shuffle;
+      2. global shingle document-frequency — one (h)-keyed partial agg;
+      3. each set re-ordered by ASCENDING df (tie: h) — the PPJoin
+         canonical order. This is the load-bearing choice at 100 TB: a
+         prefix holds a doc's RAREST shingles, so boilerplate shingles
+         shared by millions of docs never become candidate keys and the
+         per-key candidate blowup is bounded by the rare-token df, not
+         the corpus size. (Hash order would put hot shingles in
+         prefixes uniformly at random.)
+      4. prefix of length n - ceil(t*n) + 1 → exploded (h, doc) keys,
+         self-join on h, a < b, distinct — the prefix-filter theorem
+         guarantees every true pair shares >= 1 prefix shingle;
+      5. hydrate both full sets, verify with exact integer-compare
+         Jaccard (|A∩B| * DEN >= |A∪B| * NUM) — false positives die.
+
+    Shuffles: df agg, df join, per-doc reorder agg, candidate join,
+    two hydration joins — all on (id, hash)-sized rows; the text never
+    shuffles.
+    """
+    from ..functions.parallelism import ensure_parallelism
+
+    toks = H.tokens_lower("text", S)
+    sh = H.shingles("__toks", S)
+    shh = H.shingle_hashes("__sh", S)
+    sets = (
+        ensure_parallelism(docs)
+        .selectExpr("doc_id", f"{toks} AS __toks")
+        .selectExpr("doc_id", f"{sh} AS __sh")
+        .selectExpr("doc_id", f"array_sort(array_distinct({shh})) AS sh")
+        .persist()  # feeds df-count, reorder, and both hydration sides
+    )
+    tok = sets.select("doc_id", F.explode("sh").alias("h"))
+    dfreq = tok.groupBy("h").agg(F.count("*").alias("df"))
+    ordered = (
+        tok.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(df, h))), s -> s.h)"
+            ).alias("ordered")
+        )
+    )
+    p = (
+        f"size(ordered) - "
+        f"(size(ordered) * {NGRAM_T_NUM} + {NGRAM_T_DEN - 1}) div {NGRAM_T_DEN}"
+        f" + 1"
+    )
+    pref = ordered.selectExpr(
+        "doc_id", f"slice(ordered, 1, CAST({p} AS INT)) AS __pref"
+    ).select("doc_id", F.explode("__pref").alias("h"))
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(inter * NGRAM_T_DEN >= uni * NGRAM_T_NUM)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+            F.round(inter.cast("double") / uni.cast("double"), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def ngram_jaccard_oracle_sql(d: str) -> str:
+    """Algorithm-independent DuckDB oracle: enumerate pairs sharing ANY
+    shingle (a superset of every true pair, since J >= 4/5 > 0 implies
+    a shared shingle), then the same exact integer-compare Jaccard.
+    Deliberately does NOT mirror the prefix filter — it checks the
+    OUTPUT CONTRACT (exactly the pairs with J >= t), so a prefix-length
+    bug on the Spark side cannot be replicated into the oracle."""
+    corpus = corpus_with_near_dups_sql(d)
+    toks = H.tokens_lower("text", d)
+    sh = H.shingles("__toks", d)
+    shh = H.shingle_hashes("__sh", d)
+    return f"""
+WITH corpus AS ({corpus}),
+s0 AS (SELECT doc_id, {sh} AS __sh FROM (SELECT doc_id, {toks} AS __toks FROM corpus)),
+s1 AS (SELECT doc_id, {shh} AS __shh FROM s0),
+sets AS (SELECT doc_id, list_sort(list_distinct(__shh)) AS sh FROM s1),
+tok AS (SELECT doc_id, unnest(sh) AS h FROM sets),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM tok a JOIN tok b ON a.h = b.h WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, len(sa.sh) AS n_a, len(sb.sh) AS n_b,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand c
+JOIN sets sa ON sa.doc_id = c.doc_a
+JOIN sets sb ON sb.doc_id = c.doc_b
+WHERE len(list_intersect(sa.sh, sb.sh)) * {NGRAM_T_DEN}
+      >= len(list_distinct(list_concat(sa.sh, sb.sh))) * {NGRAM_T_NUM}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # Cluster resolution: verified near-dup pairs → one keeper per
 # connected duplicate cluster. The step an actual 100-TB dedup pass
 # needs after lsh_pairs: transitive closure (A~B, B~C → {A,B,C} keep

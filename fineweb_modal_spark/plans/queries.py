@@ -2240,3 +2240,19 @@ def q_committed_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sinks.read_manifest(spark, out).select(
         "ds", "n_rows", "n_keep", "out_chars"
     )
+
+
+@register("dedup_ngram_jaccard", dedup.ngram_jaccard_oracle_sql(D))
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup join (prefix filtering,
+    PPJoin-style) over the same constructed near-dup corpus as
+    `dedup_minhash_lsh` — the deterministic complement to the
+    probabilistic MinHash path: every pair with 3-shingle Jaccard
+    >= 4/5, no false negatives. Candidate keys are each doc's RAREST
+    shingles (df-ascending canonical order), so hot boilerplate
+    shingles never fan out; the threshold is integer-rational on both
+    sides (|A∩B|*5 >= |A∪B|*4). Oracle is algorithm-independent
+    (all shared-shingle pairs, same integer compare)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    corpus = spark.sql(dedup.corpus_with_near_dups_sql(sd.SPARK))
+    return dedup.ngram_jaccard_pairs(corpus)

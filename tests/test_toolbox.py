@@ -492,3 +492,40 @@ def test_cms_never_underestimates(spark):
     rows = est.join(exact, "tok").collect()
     assert rows
     assert all(r.est >= r.exact_cnt for r in rows)
+
+
+def test_ngram_jaccard_equals_brute_force(spark, corpus):
+    """Prefix filtering is EXACT: output must equal the brute-force
+    all-pairs Jaccard-threshold set — no false negatives (the
+    prefix-filter theorem) and no false positives (verification).
+    The corpus has docs whose distinct-shingle count is a multiple of
+    5, the case where float ceil(0.8*n) inflates to n (0.8*5 ->
+    4.000000000000000222) and a float-based prefix length would
+    silently drop true pairs."""
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(corpus).collect()
+    }
+
+    toks = dedup.H.tokens_lower("text", sd.SPARK)
+    sh = dedup.H.shingles("__toks", sd.SPARK)
+    shh = dedup.H.shingle_hashes("__sh", sd.SPARK)
+    sets = {
+        r.doc_id: frozenset(r.sh)
+        for r in corpus.selectExpr("doc_id", f"{toks} AS __toks")
+        .selectExpr("doc_id", f"{sh} AS __sh")
+        .selectExpr("doc_id", f"array_distinct({shh}) AS sh")
+        .collect()
+    }
+    ids = sorted(sets)
+    # sanity: the float-ceil trap case is actually present
+    assert any(len(sets[i]) % 5 == 0 for i in ids)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if inter * dedup.NGRAM_T_DEN >= uni * dedup.NGRAM_T_NUM:
+                want[(a, b)] = round(inter / uni, 6)
+    assert want, "fixture must contain true near-dup pairs"
+    assert got == want
