@@ -838,7 +838,7 @@ def ivf_pq_topk(
     with a per-query ADC lookup table (LUT[m][c] = dot(q_sub_m,
     codebook_m[c]); score = Σ_m LUT[m][codes[m]]). The candidate
     relation carries codes only — at 10^12 vectors that is the
-    difference between shipping 8 ints and 64 floats per candidate
+    difference between shipping PQ_M=16 uint8 codes and 64 floats per candidate
     through the cell shuffle. Returns (query_id, neighbor_id, score,
     rank); score is the approximate dot product (recall measured in
     tests against exact cosine_topk)."""

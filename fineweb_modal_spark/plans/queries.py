@@ -2256,3 +2256,40 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     corpus = spark.sql(dedup.corpus_with_near_dups_sql(sd.SPARK))
     return dedup.ngram_jaccard_pairs(corpus)
+
+
+# Arrow IPC shard scan (reference chunker.py:55,124 reads HF-saved
+# .arrow shards one-per-container). The gate materializes documents as
+# 4 stream-format shards, scans them through the mapInPandas connector,
+# and aggregates; the oracle aggregates the parquet original — the
+# connector must be a lossless relational source.
+_ARROW_IPC_ORACLE = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents GROUP BY source
+"""
+
+
+@register("arrow_ipc_scan", _ARROW_IPC_ORACLE)
+def q_arrow_ipc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan HF-style .arrow shards (file-granular parallelism, one
+    pandas frame per record batch) and prove the scan lossless against
+    the same rows' parquet original."""
+    import tempfile
+
+    from ..sources import arrow_ipc
+    from ..sources.tables import table_path
+
+    out = tempfile.mkdtemp(prefix="gate_arrow_")
+    arrow_ipc.write_arrow_shards(
+        table_path(sf_dir, "documents"), out, n_shards=4
+    )
+    df = arrow_ipc.read_arrow_ipc(
+        spark, out, columns=["doc_id", "text", "source"]
+    )
+    return df.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum("doc_id").alias("id_sum"),
+    )

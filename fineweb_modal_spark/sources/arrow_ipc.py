@@ -1,0 +1,110 @@
+"""Arrow IPC shard source: a directory of `.arrow` files as a DataFrame.
+
+The reference's chunker consumes HF-saved Arrow shards
+(`data-00000-of-00138.arrow`, chunker.py:55,124) by assigning one file
+per container. Spark has no built-in Arrow IPC reader, so this
+connector re-expresses that fan-out Spark-side:
+
+* the DRIVER touches only file NAMES (os.listdir) and ONE schema
+  (first shard's header) — metadata-sized, never row data;
+* the file list becomes a one-path-per-row DataFrame, repartitioned so
+  each task owns ~one shard — the Spark analog of the reference's
+  one-file-per-container map;
+* `mapInPandas` opens its shard(s) with pyarrow and yields ONE pandas
+  frame PER RECORD BATCH, so peak task memory is a batch, not a file.
+
+Scale notes: parallelism is file-granular (an IPC *file*-format shard
+is random-accessible per record batch, but a *stream*-format shard —
+what HF writes — is not splittable), matching the reference's own
+sharding contract: throughput scales with shard count. Column pruning
+happens at the pyarrow layer via `columns=`; pass the projection down
+rather than select()ing after the scan when reading wide shards.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def list_shards(shard_dir: str, suffix: str = ".arrow") -> list[str]:
+    return sorted(
+        os.path.join(shard_dir, f)
+        for f in os.listdir(shard_dir)
+        if f.endswith(suffix)
+    )
+
+
+def _open_reader(path: str):
+    """IPC file format (magic 'ARROW1') or stream format — both occur
+    in the wild; HF `save_to_disk` writes stream-format `.arrow`."""
+    import pyarrow as pa
+
+    with open(path, "rb") as f:
+        magic = f.read(6)
+    if magic == b"ARROW1":
+        return pa.ipc.open_file(pa.memory_map(path))
+    return pa.ipc.open_stream(pa.input_stream(path))
+
+
+def read_arrow_ipc(
+    spark: SparkSession,
+    shard_dir: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Distributed scan over every `.arrow` shard in `shard_dir`."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    paths = list_shards(shard_dir)
+    if not paths:
+        raise FileNotFoundError(f"no .arrow shards under {shard_dir}")
+
+    reader = _open_reader(paths[0])
+    arrow_schema = reader.schema
+    if columns is not None:
+        import pyarrow as pa
+
+        arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
+    spark_schema = from_arrow_schema(arrow_schema)
+
+    def scan(frames):
+        for pdf in frames:
+            for path in pdf["path"]:
+                r = _open_reader(path)
+                batches = (
+                    (r.get_batch(i) for i in range(r.num_record_batches))
+                    if hasattr(r, "num_record_batches")
+                    else iter(r)
+                )
+                for batch in batches:
+                    if columns is not None:
+                        batch = batch.select(columns)
+                    yield batch.to_pandas()
+
+    files = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(len(paths))
+    return files.mapInPandas(scan, schema=spark_schema)
+
+
+def write_arrow_shards(
+    parquet_path: str, out_dir: str, n_shards: int = 4
+) -> list[str]:
+    """Test-fixture generator: parquet table → HF-style stream-format
+    shards `data-{i:05d}-of-{n:05d}.arrow`, rows round-robin by
+    position (deterministic). Driver-side by design — it builds small
+    local fixtures; at scale the shards already exist."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    table = pq.read_table(parquet_path)
+    out = []
+    for i in range(n_shards):
+        shard = table.take(list(range(i, table.num_rows, n_shards)))
+        path = os.path.join(out_dir, f"data-{i:05d}-of-{n_shards:05d}.arrow")
+        with pa.ipc.new_stream(path, table.schema) as w:
+            w.write_table(shard)
+        out.append(path)
+    return out

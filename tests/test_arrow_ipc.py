@@ -1,0 +1,44 @@
+"""Arrow IPC source connector: lossless scan of .arrow shard dirs in
+both IPC formats (stream — what HF writes — and file), with
+pyarrow-layer column pruning."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+
+from fineweb_modal_spark.sources import arrow_ipc
+from fineweb_modal_spark.sources.tables import table_path
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_shards_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    paths = arrow_ipc.write_arrow_shards(
+        table_path(SF, "documents"), out, n_shards=3
+    )
+    assert [os.path.basename(p) for p in paths] == [
+        f"data-{i:05d}-of-00003.arrow" for i in range(3)
+    ]
+    got = arrow_ipc.read_arrow_ipc(spark, out)
+    want = spark.read.parquet(table_path(SF, "documents"))
+    assert got.schema == want.schema
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_file_format_and_column_pruning(spark, tmp_path):
+    table = pq.read_table(table_path(SF, "documents"))
+    path = str(tmp_path / "data-00000-of-00001.arrow")
+    with pa.ipc.new_file(path, table.schema) as w:  # file format, magic ARROW1
+        w.write_table(table)
+    got = arrow_ipc.read_arrow_ipc(
+        spark, str(tmp_path), columns=["doc_id", "source"]
+    )
+    assert got.columns == ["doc_id", "source"]
+    assert got.count() == table.num_rows
+    s = got.agg(F.sum("doc_id")).first()[0]
+    assert s == sum(table.column("doc_id").to_pylist())
