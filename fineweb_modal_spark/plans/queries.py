@@ -2293,3 +2293,53 @@ def q_arrow_ipc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("n_chars"),
         F.sum("doc_id").alias("id_sum"),
     )
+
+
+from ..operators import hll as hll_op  # noqa: E402
+
+# HyperLogLog distinct sketch (completes the sketch family next to
+# count-min and Bloom): per-event_type distinct event_id estimates
+# PLUS a merged-sketch ALL row — the merge (bucket-wise max) is the
+# property that lets 100-TB shards compute distincts independently and
+# combine without re-shuffling keys. Registers and the fixed-point
+# estimate re-derive bit-identically in DuckDB, so the gate hash-pins
+# the ESTIMATES, not just rows.
+_HLL_ORACLE = f"""
+WITH est AS ({hll_op.estimate_oracle_sql(
+    "SELECT event_type, event_id FROM events", "event_id", "event_type")}),
+exact AS (
+  SELECT event_type AS grp,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', CAST(count(DISTINCT event_id) AS BIGINT) FROM events
+)
+SELECT e.grp, x.n_exact, e.n_est,
+       round(abs(e.n_est - x.n_exact) / x.n_exact, 6) AS rel_err
+FROM est e JOIN exact x ON x.grp = e.grp
+"""
+
+
+@register("hll_distinct_events", _HLL_ORACLE)
+def q_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL distinct-count per event_type + merged ALL
+    sketch, next to exact counts and relative error."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id")
+    regs = hll_op.build_registers(ev, "event_id", ["event_type"])
+    every = regs.unionByName(hll_op.merge_registers(regs))
+    est = hll_op.estimate(every).withColumnRenamed("event_type", "grp")
+    ex_t = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.countDistinct("event_id").alias("n_exact")
+    )
+    ex_all = ev.agg(F.countDistinct("event_id").alias("n_exact")).select(
+        F.lit("ALL").alias("grp"), "n_exact"
+    )
+    exact = ex_t.unionByName(ex_all)
+    return est.join(exact, "grp").select(
+        "grp",
+        "n_exact",
+        "n_est",
+        F.round(F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_err"
+        ),
+    )

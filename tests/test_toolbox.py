@@ -529,3 +529,36 @@ def test_ngram_jaccard_equals_brute_force(spark, corpus):
                 want[(a, b)] = round(inter / uni, 6)
     assert want, "fixture must contain true near-dup pairs"
     assert got == want
+
+
+def test_hll_accuracy_and_merge(spark):
+    """m=256 HLL: relative error within ~3σ (σ≈6.5%) on 2k–10k
+    cardinalities, and the merged ALL sketch must EQUAL the sketch
+    built directly over the union (bucket-wise max is an exact merge,
+    not an approximation of one)."""
+    from fineweb_modal_spark.operators import hll
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_type", "event_id"
+    )
+    regs = hll.build_registers(ev, "event_id", ["event_type"])
+    merged = {
+        (r.bucket): r.m_j for r in hll.merge_registers(regs).collect()
+    }
+    direct = {
+        r.bucket: r.m_j
+        for r in hll.build_registers(
+            ev.select(F.lit("ALL").alias("g"), "event_id"), "event_id", ["g"]
+        ).collect()
+    }
+    assert merged == direct
+
+    est = {r.event_type: r.n_est for r in hll.estimate(regs).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("n"))
+        .collect()
+    }
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n < 0.2, (g, est[g], n)
