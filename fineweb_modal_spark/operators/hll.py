@@ -77,6 +77,17 @@ def _estimate_expr(sum_col: str, nz_col: str, d: str) -> str:
     return f"round({num} / CAST({s} AS DOUBLE), 6)"
 
 
+def register_fragments(key_expr: str, d: str) -> tuple[str, str]:
+    """Public (bucket, rho) SQL fragments — for callers that embed the
+    register build in their own plan (e.g. streaming windowed aggs)."""
+    return _register_sql(key_expr, d)
+
+
+def estimate_expr(sum_col: str, nz_col: str, d: str) -> str:
+    """Public estimate expression over (Σ fixed-point terms, nonzero)."""
+    return _estimate_expr(sum_col, nz_col, d)
+
+
 def build_registers(
     df: DataFrame, key_col: str, group_cols: list[str]
 ) -> DataFrame:

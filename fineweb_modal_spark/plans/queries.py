@@ -2343,3 +2343,73 @@ def q_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+# Streaming HLL: the sketch family composed with Structured Streaming.
+# Register state is <= m ints per open window (bounded, unlike
+# dropDuplicates state); the oracle re-derives registers AND estimate
+# in DuckDB over the same md5/fixed-point arithmetic. Spark's 7-day
+# windows align to the unix epoch, rendered below as date arithmetic.
+_WEEK_EXPR_DUCK = (
+    "(DATE '1970-01-01' + CAST(floor(epoch(ts) / 604800) * 7 AS INT))"
+)
+
+
+def _weekly_hll_oracle() -> str:
+    bucket, rho = hll_op.register_fragments("event_id", D)
+    term = "(CAST(1 AS BIGINT) << (53 - m_j))"
+    return f"""
+WITH regs AS (
+  SELECT {_WEEK_EXPR_DUCK} AS week, {bucket} AS bucket, max({rho}) AS m_j
+  FROM events GROUP BY 1, 2
+),
+sums AS (
+  SELECT week, CAST(sum({term}) AS BIGINT) AS __s,
+         CAST(count(*) AS BIGINT) AS __nz
+  FROM regs GROUP BY week
+),
+est AS (SELECT week, {hll_op.estimate_expr("__s", "__nz", D)} AS n_est FROM sums),
+exact AS (
+  SELECT {_WEEK_EXPR_DUCK} AS week,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT e.week, x.n_exact, e.n_est,
+       round(abs(e.n_est - x.n_exact) / x.n_exact, 6) AS rel_err
+FROM est e JOIN exact x ON x.week = e.week
+""".strip()
+
+
+@register("hll_distinct_stream", _weekly_hll_oracle())
+def q_hll_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → watermark → 7-day-windowed HLL register agg →
+    memory sink; estimate read off the registers, joined to the exact
+    batch count per window. Single-batch source ⇒ must equal the
+    batch/DuckDB re-derivation exactly."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="gate_hllstream_")
+    spark.read.parquet(table_path(sf_dir, "events")).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/events")
+    est = streaming_inc.weekly_distinct_sketch(
+        spark, f"{d}/events", f"{d}/ckpt", query_name=f"gate_hllstream_{tag}"
+    )
+    ev = spark.read.parquet(f"{d}/events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    exact = (
+        ev.groupBy(F.window("ts", "7 days").alias("w"))
+        .agg(F.countDistinct("event_id").alias("n_exact"))
+        .select(F.col("w.start").cast("date").alias("week"), "n_exact")
+    )
+    return est.join(exact, "week").select(
+        "week",
+        "n_exact",
+        "n_est",
+        F.round(
+            F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    )

@@ -126,3 +126,51 @@ def dedup_stream(
     q.awaitTermination()
     progress = q.lastProgress
     return int(progress["numInputRows"]) if progress else 0
+
+
+def weekly_distinct_sketch(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint: str,
+    query_name: str = "weekly_hll",
+) -> DataFrame:
+    """Streaming HLL: distinct event_id per 7-day event-time window.
+
+    The register build (`max(rho)` per (window, bucket)) IS the
+    streaming-native distinct count: state is ≤ m integers per open
+    window — bounded regardless of key cardinality — and late rows
+    inside the watermark fold in through the same max. Contrast
+    `dropDuplicates`, whose state grows with the number of distinct
+    keys. The stream maintains REGISTERS only; the estimate is a
+    cheap batch read-off of the memory sink (streaming allows a
+    single aggregation per query, and the register agg is the one
+    that needs the state machinery).
+    """
+    from ..functions import sqldialect as sd
+    from ..operators import hll
+
+    ev = _events_stream(spark, events_dir)
+    bucket, rho = hll.register_fragments("event_id", sd.SPARK)
+    regs = (
+        ev.withWatermark("ts", "1 day")
+        .selectExpr(
+            "ts",
+            f"CAST({bucket} AS INT) AS bucket",
+            f"CAST({rho} AS INT) AS rho",
+        )
+        .groupBy(F.window("ts", "7 days").alias("w"), "bucket")
+        .agg(F.max("rho").alias("m_j"))
+        .select(
+            F.col("w.start").cast("date").alias("week"), "bucket", "m_j"
+        )
+    )
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return hll.estimate(spark.table(query_name))

@@ -154,3 +154,38 @@ def test_streaming_dedup_drops_recrawls(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == full.count()  # dupes dropped, everything else kept
     assert got.select("url").distinct().count() == full.count()
+
+
+def test_weekly_hll_sketch_matches_batch(spark, tmp_path):
+    """Streaming register build must equal the batch HLL over the same
+    rows (max is order/micro-batch-insensitive — the property that
+    makes sketches streaming-native), and estimates must land within
+    the m=256 error envelope."""
+    from fineweb_modal_spark.operators import hll
+    from fineweb_modal_spark.sources.tables import table_path
+
+    # sf0.01: ~2.3k distinct per window — above the 2.5·m small-range
+    # floor the sketch deliberately does not correct for (hll.py doc)
+    ev = spark.read.parquet(table_path("/root/testdata/sf0.01", "events"))
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events"))
+    est = incremental.weekly_distinct_sketch(
+        spark, str(tmp_path / "events"), str(tmp_path / "ckpt"),
+        query_name="t_weekly_hll",
+    ).collect()
+    got = {r.week: r.n_est for r in est}
+
+    batch = ev.withColumn("ts", F.col("ts").cast("timestamp")).select(
+        F.window("ts", "7 days").start.cast("date").alias("week"), "event_id"
+    )
+    regs = hll.build_registers(batch, "event_id", ["week"])
+    want = {r.week: r.n_est for r in hll.estimate(regs).collect()}
+    assert got == want
+
+    exact = {
+        r.week: r.n
+        for r in batch.groupBy("week")
+        .agg(F.countDistinct("event_id").alias("n"))
+        .collect()
+    }
+    for wk, n in exact.items():
+        assert abs(got[wk] - n) / n < 0.25, (wk, got[wk], n)
