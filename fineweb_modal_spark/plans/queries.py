@@ -2413,3 +2413,43 @@ def q_hll_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact"), 6
         ).alias("rel_err"),
     )
+
+
+from ..operators import histsketch  # noqa: E402
+
+# Histogram quantile sketch (4th sketch: quantiles in fixed memory,
+# next to count-min/Bloom/HLL). Gate hash-pins the interpolated
+# estimates AND their error vs the exact percentiles from
+# `length_quantiles`'s oracle-proven path.
+_HIST_ORACLE = f"""
+WITH est AS ({histsketch.quantiles_oracle_sql(
+    "SELECT source, n_chars FROM documents", "n_chars", "source",
+    [0.5, 0.9, 0.99])}),
+exact AS (
+  SELECT source AS grp, quantile_cont(n_chars, 0.5) AS x50
+  FROM documents GROUP BY 1
+)
+SELECT e.grp, e.n, e.p50, e.p90, e.p99,
+       round(abs(e.p50 - x.x50), 6) AS p50_abs_err
+FROM est e JOIN exact x ON x.grp = e.grp
+"""
+
+
+@register("hist_quantiles_sketch", _HIST_ORACLE)
+def q_hist_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram p50/p90/p99 of doc length per source —
+    one (group,bin) counter relation instead of a per-group sort;
+    p50 absolute error vs the exact percentile rides along (bounded
+    by W=16 bin width)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    bins = histsketch.build_bins(docs, "n_chars", ["source"])
+    est = histsketch.quantiles(bins, [0.5, 0.9, 0.99]).withColumnRenamed(
+        "source", "grp"
+    )
+    exact = docs.groupBy(F.col("source").alias("grp")).agg(
+        F.expr("percentile(n_chars, 0.5)").alias("x50")
+    )
+    return est.join(exact, "grp").select(
+        "grp", "n", "p50", "p90", "p99",
+        F.round(F.abs(F.col("p50") - F.col("x50")), 6).alias("p50_abs_err"),
+    )

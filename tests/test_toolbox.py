@@ -562,3 +562,45 @@ def test_hll_accuracy_and_merge(spark):
     }
     for g, n in exact.items():
         assert abs(est[g] - n) / n < 0.2, (g, est[g], n)
+
+
+def test_hist_sketch_merge_and_error_bound(spark):
+    """Bin counters merged from disjoint shards (sum on (group,bin))
+    must equal the whole-corpus sketch, and every estimate must land
+    within one bin width of the ceil(q*n)-th ORDER STATISTIC — the
+    sketch's actual guarantee (the straddling bin contains that count
+    position). Interpolated percentiles are NOT the yardstick: on a
+    25-row group p99 sits between the top two values, whose gap is
+    data-dependent and unbounded by W."""
+    import math
+
+    from fineweb_modal_spark.operators import histsketch as hs
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "source", "n_chars"
+    )
+    whole = hs.build_bins(docs, "n_chars", ["source"])
+    h1 = hs.build_bins(docs.where("n_chars % 2 = 0"), "n_chars", ["source"])
+    h2 = hs.build_bins(docs.where("n_chars % 2 = 1"), "n_chars", ["source"])
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("source", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+    est = {
+        r.source: r for r in hs.quantiles(whole, [0.5, 0.9, 0.99]).collect()
+    }
+    vals = {}
+    for r in docs.collect():
+        vals.setdefault(r.source, []).append(r.n_chars)
+    for src, xs in vals.items():
+        xs.sort()
+        r = est[src]
+        assert r.n == len(xs)
+        for q, e in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
+            k = math.ceil(q * len(xs))
+            assert abs(e - xs[k - 1]) <= hs.HIST_W, (src, q, e, xs[k - 1])
