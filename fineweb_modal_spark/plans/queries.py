@@ -2529,3 +2529,83 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene: benchmark decontamination, boilerplate screen,
+# deterministic train/val/test sharding (operators/decontam.py, split.py)
+# ---------------------------------------------------------------------------
+
+from ..operators import decontam as decontam_op  # noqa: E402
+from ..operators import split as split_op  # noqa: E402
+
+
+@register("decontaminate_corpus", decontam_op.decontaminate_oracle_sql(D))
+def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style n-gram decontamination: the eval docs (doc_id%97=0)
+    are held out of the training corpus and leak back in as planted
+    near-copies at doc_id+2000000; the operator must flag exactly the
+    leaked docs (plus any natural 8-gram collisions). Plan: row-local
+    gram sets, broadcast probe of the benchmark gram set, partial-agg
+    count of hits only — the clean bulk of the corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    planted = eval_docs.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" leaked into train set")).alias("text"),
+    )
+    corpus = (
+        docs.where(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+        .unionByName(planted)
+    )
+    bench = decontam_op.benchmark_grams(eval_docs)
+    return decontam_op.decontaminate(corpus, bench).select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+    )
+
+
+@register("boilerplate_screen", decontam_op.boilerplate_oracle_sql(D))
+def q_boilerplate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate screen: shingles in >= 3 docs are
+    template text; per-doc boilerplate ratio with an exact-integer
+    keep rule (ratio <= 1/2). Two map-side-combinable shuffles, text
+    never leaves the scan stage."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = decontam_op.boilerplate_signals(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_sh").cast("long").alias("n_sh"),
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        "boiler_ratio",
+        "keep",
+    )
+
+
+_SPLIT_ORACLE = f"""
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM (SELECT doc_id, n_chars, {split_op.split_expr(D)} AS split FROM documents)
+GROUP BY split
+"""
+
+
+@register("train_test_split", _SPLIT_ORACLE)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 sharding by stable-id md5 coin — the
+    assignment survives repartition/compaction/engine swap, unlike
+    rand() or row-position splits. Row-local codegen + one 3-row
+    partial agg; id_checksum pins the exact membership, not just the
+    counts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        split_op.assign_split(docs)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )

@@ -1,0 +1,97 @@
+"""Corpus-hygiene operators: decontamination, boilerplate screen,
+deterministic train/val/test sharding."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from fineweb_modal_spark.operators import decontam, split
+from fineweb_modal_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_decontaminate_flags_planted_leaks_only(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    planted = eval_docs.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = docs.where(F.col("doc_id") % 97 != 0).unionByName(planted)
+    bench = decontam.benchmark_grams(eval_docs)
+    hits = {r.doc_id: r.n_hits for r in decontam.decontaminate(corpus, bench).collect()}
+    planted_ids = {r.doc_id for r in planted.select("doc_id").collect()}
+    # every planted leak is caught, with many shared grams each
+    assert planted_ids <= set(hits)
+    for pid in planted_ids:
+        assert hits[pid] > 10
+    # docs sharing no benchmark 8-gram are NOT flagged (natural
+    # collisions are possible but must be a tiny minority)
+    assert len(hits) <= len(planted_ids) + 3
+
+
+def test_decontaminate_clean_corpus_empty(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    bench = decontam.benchmark_grams(
+        spark.createDataFrame(
+            [(1, "completely disjoint benchmark vocabulary zebra quux")],
+            "doc_id long, text string",
+        )
+    )
+    assert decontam.decontaminate(docs, bench).count() == 0
+
+
+def test_decontaminate_probe_is_broadcast(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    bench = decontam.benchmark_grams(docs.where(F.col("doc_id") % 97 == 0))
+    plan = _plan(decontam.decontaminate(docs, bench))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_boilerplate_keep_rule_exact(spark):
+    rows = decontam.boilerplate_signals(
+        load_table(spark, SF, "documents").select("doc_id", "text")
+    ).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 <= r.n_boiler <= r.n_sh
+        assert r.keep == (r.n_boiler * decontam.BOILER_KEEP_DEN <= r.n_sh * decontam.BOILER_KEEP_NUM)
+    # with a 25-word synthetic vocabulary both classes must be populated
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < 500
+
+
+def test_boilerplate_all_duplicate_docs_dropped(spark):
+    # 5 identical docs + 1 unique: every shingle of the clones has df=5
+    # >= BOILER_DF, so their ratio is 1.0 and they are dropped; the
+    # unique doc shares nothing and is kept.
+    docs = spark.createDataFrame(
+        [(i, "the same cookie banner text accept all cookies now") for i in range(5)]
+        + [(99, "entirely novel words appear precisely once overall here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in decontam.boilerplate_signals(docs).collect()}
+    for i in range(5):
+        assert got[i].boiler_ratio == 1.0 and not got[i].keep
+    assert got[99].n_boiler == 0 and got[99].keep
+
+
+def test_split_stable_proportioned_and_shuffle_free(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    out = split.assign_split(docs)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 8 * (counts["val"] + counts["test"])  # ~90/10
+    # stable under repartition: identical assignment per doc_id
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in split.assign_split(docs.repartition(7)).collect()}
+    assert a == b
+    # row-local: no Exchange in the assignment plan
+    assert "Exchange" not in _plan(split.assign_split(docs))
