@@ -2609,3 +2609,79 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-level dedup: duplicated token-window spans
+# (operators/spandedup.py — Lee et al. semantics at window granularity)
+# ---------------------------------------------------------------------------
+
+from ..operators import spandedup as spandedup_op  # noqa: E402
+
+
+@register(
+    "dedup_repeated_spans",
+    spandedup_op.duplicated_spans_oracle_sql(
+        D, f"({spandedup_op.planted_corpus_sql(D)})"
+    ),
+)
+def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated >= 30-token runs as excisable [start, end] token
+    spans: window hashes row-local, ONE (h)-keyed partial agg for
+    occurrence counts, dup hashes broadcast back, island-merge over
+    the tiny dup set. Corpus plants a 60-token copied slice of every
+    20th doc; fixtures also carry natural within-doc repeats — both
+    kinds must be found, merged identically to the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = spark.sql(
+        spandedup_op.planted_corpus_sql(H.SPARK, "{documents}"),
+        documents=docs,
+    )
+    return spandedup_op.duplicated_spans(corpus).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture sampling (operators/mixture.py)
+# ---------------------------------------------------------------------------
+
+from ..operators import mixture as mixture_op  # noqa: E402
+
+# recipe: src<i> sampled at max(100, 1000 - 50*i) / 1000 — rendered as
+# a rates relation on the Spark side and inline arithmetic in the oracle.
+_MIXTURE_ORACLE = f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM (
+  SELECT doc_id, source FROM documents
+  WHERE {mixture_op.coin_expr(D)} <
+        greatest(100, 1000 - 50 * CAST(substr(source, 4) AS INT))
+)
+GROUP BY source
+"""
+
+
+@register("mixture_sample_by_source", _MIXTURE_ORACLE)
+def q_mixture_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recipe-table down-sampling: rates as a broadcast dimension, the
+    stable md5 coin row-local — rerun-identical, composes with the
+    split coin (different salt). Gate pins per-source kept counts AND
+    id checksums (exact membership, not just proportions)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sources = [f"src{i}" for i in range(20)]
+    rates = spark.createDataFrame(
+        [(s, max(100, 1000 - 50 * int(s[3:]))) for s in sources],
+        "source string, rate_num int",
+    )
+    return (
+        mixture_op.mixture_sample(docs, rates)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
