@@ -142,3 +142,73 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
        CAST(count(*) AS BIGINT) AS n_windows
 FROM island GROUP BY doc_id, isl
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Span excision: find → REMOVE (completes the substring-dedup pass)
+# ---------------------------------------------------------------------------
+
+
+def excise_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """(doc_id, n_before, n_after, clean_text): documents with the
+    given token ranges removed.
+
+    The spans side is the duplicated MINORITY by construction, so it
+    collapses to one small (doc_id, spans-array) row per flagged doc
+    and broadcasts; the corpus side never shuffles. Excision operates
+    on the canonical token stream (lowercased, whitespace-split — the
+    same tokenization the spans were computed over), so clean_text is
+    the detokenized stream: at 100 TB you excise the token stream you
+    train on, not the raw bytes. Only flagged docs are returned —
+    union the untouched remainder by anti-join if a full corpus
+    rewrite is wanted.
+
+    Keeper policy is the CALLER's: pass only the spans of the
+    occurrences to remove (e.g. filter to non-keeper doc_ids) — the
+    operator removes exactly what it is given.
+    """
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sps")
+    )
+    toks = H.tokens_lower("text", S)
+    staged = docs.join(F.broadcast(sp), "doc_id").selectExpr(
+        "doc_id", f"{toks} AS toks", "sps"
+    )
+    keep = (
+        "filter(toks, (t, i) -> size(filter(sps, "
+        "x -> i + 1 >= x.span_start AND i + 1 <= x.span_end)) = 0)"
+    )
+    # stage the filtered array ONCE — two uses of the same HOF subexpr
+    # would re-evaluate it per projection (the Catalyst lambda-inlining
+    # trap the r2 webtext_filter fix documents)
+    return staged.selectExpr(
+        "doc_id", "size(toks) AS n_before", f"{keep} AS kept"
+    ).selectExpr(
+        "doc_id",
+        "n_before",
+        "size(kept) AS n_after",
+        "array_join(kept, ' ') AS clean_text",
+    )
+
+
+def excise_oracle_sql(d: str, corpus: str, spans_sql: str) -> str:
+    """DuckDB rendering of excise_spans over `corpus` and the spans
+    produced by `spans_sql` (1-based inclusive token ranges)."""
+    toks = H.tokens_lower("text", d)
+    return f"""
+WITH spans AS ({spans_sql}),
+sp AS (SELECT doc_id,
+              list(struct_pack(span_start := span_start, span_end := span_end)) AS sps
+       FROM spans GROUP BY doc_id),
+staged AS (
+  SELECT d.doc_id, {toks} AS toks, sp.sps AS sps
+  FROM {corpus} d JOIN sp ON sp.doc_id = d.doc_id
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_before,
+       CAST(len(list_filter(toks, (t, i) -> len(list_filter(sps,
+         x -> i >= x.span_start AND i <= x.span_end)) = 0)) AS BIGINT) AS n_after,
+       list_aggregate(list_filter(toks, (t, i) -> len(list_filter(sps,
+         x -> i >= x.span_start AND i <= x.span_end)) = 0),
+         'string_agg', ' ') AS clean_text
+FROM staged
+""".strip()

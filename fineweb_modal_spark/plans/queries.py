@@ -2685,3 +2685,41 @@ def q_mixture_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_checksum"),
         )
     )
+
+
+_EXCISE_SPANS_SQL = (
+    "SELECT doc_id, span_start, span_end FROM ("
+    + spandedup_op.duplicated_spans_oracle_sql(
+        D, f"({spandedup_op.planted_corpus_sql(D)})"
+    )
+    + ") WHERE doc_id >= 3000000"
+)
+
+
+@register(
+    "dedup_excise_spans",
+    f"""
+SELECT doc_id, n_before, n_after, md5(clean_text) AS clean_md5 FROM (
+{spandedup_op.excise_oracle_sql(D, f"({spandedup_op.planted_corpus_sql(D)})", _EXCISE_SPANS_SQL)}
+)""".strip(),
+)
+def q_dedup_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """find → excise, keep-the-original policy: spans filtered to the
+    planted copies (doc_id >= 3000000), their duplicated ranges REMOVED
+    from the canonical token stream. n_after + clean-text md5 prove the
+    rewrite is exact, not just counted. Spans side broadcast; the
+    corpus is never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = spark.sql(
+        spandedup_op.planted_corpus_sql(H.SPARK, "{documents}"),
+        documents=docs,
+    )
+    spans = spandedup_op.duplicated_spans(corpus).where(
+        F.col("doc_id") >= 3000000
+    )
+    return spandedup_op.excise_spans(corpus, spans).select(
+        "doc_id",
+        F.col("n_before").cast("long").alias("n_before"),
+        F.col("n_after").cast("long").alias("n_after"),
+        F.md5("clean_text").alias("clean_md5"),
+    )

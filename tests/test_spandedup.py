@@ -97,3 +97,19 @@ def test_mixture_deterministic_under_repartition(spark):
         for r in mixture.mixture_sample(docs.repartition(13), rates).collect()
     }
     assert a == b and 0 < len(a) < 500
+
+
+def test_excise_removes_exact_range(spark):
+    a_toks = [f"a{i}" for i in range(1, 81)]
+    z_toks = [f"z{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_toks)), (2, " ".join(a_toks[20:60] + z_toks))],
+        "doc_id long, text string",
+    )
+    spans = spandedup.duplicated_spans(docs).where(F.col("doc_id") == 2)
+    got = spandedup.excise_spans(docs, spans).collect()
+    assert len(got) == 1
+    r = got[0]
+    # doc 2: 40 copied tokens ([1,40]) removed, the 40 unique remain
+    assert (r.doc_id, r.n_before, r.n_after) == (2, 80, 40)
+    assert r.clean_text == " ".join(z_toks)
