@@ -22,11 +22,13 @@ def esc(pattern: str, d: str) -> str:
 # Case-mapping parity envelope (applies to every lower() in the
 # renderings): Python/Java implement FULL Unicode lowercasing
 # (U+0130 'İ' → 2 chars, contextual final sigma for 'Σ'); DuckDB's
-# utf8proc uses the simple 1:1 mapping. Engine (pandas) and Spark
-# agree; the DuckDB oracle diverges on exactly those two code points,
-# which are out of spec — the same documented-envelope approach as
-# the ASCII whitespace pin below (found + pinned by the differential
-# hypothesis tests in tests/test_properties.py).
+# utf8proc uses the simple 1:1 mapping AND may lag Unicode versions
+# (e.g. no Vithkuqi U+10570.. mappings in this build). Engine
+# (pandas) and Spark agree; only the DuckDB oracle diverges, on a
+# set MEASURED against the installed DuckDB by
+# tests/test_properties.py::_duck_lower_divergent — the same
+# documented-envelope approach as the ASCII whitespace pin below
+# (found by the differential hypothesis tests).
 
 # Edge-whitespace set pinned to EXPLICIT ASCII chars: SQL trim()
 # strips spaces ONLY, so tab/CR/LF-edged text (CRLF crawls!) would keep

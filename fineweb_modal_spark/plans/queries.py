@@ -2723,3 +2723,48 @@ def q_dedup_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_after").cast("long").alias("n_after"),
         F.md5("clean_text").alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line dedup + domain blocklist (web-corpus hygiene, cont.)
+# ---------------------------------------------------------------------------
+
+from ..operators import blocklist as blocklist_op  # noqa: E402
+from ..operators import linededup as linededup_op  # noqa: E402
+
+
+@register("line_dedup_clean", linededup_op.line_dedup_oracle_sql(D))
+def q_line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet line-level dedup: lines whose corpus document
+    frequency >= 3 (cookie banners, share bars, per-host footers in
+    the planted lined corpus) are removed from EVERY document, the
+    survivors rejoined in order. Text shuffles exactly once (final
+    doc_id join); the df agg and the boilerplate join move int keys
+    only. clean_md5 proves the rebuild byte-exactly, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = spark.sql(
+        linededup_op.lined_corpus_sql(sd.SPARK, "{documents}"),
+        documents=docs,
+    )
+    return linededup_op.line_dedup(corpus).select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_kept",
+        "n_removed",
+    )
+
+
+@register(
+    "blocklist_filter",
+    blocklist_op.blocklist_oracle_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filter (FineWeb stage 1): extract host (pure
+    codegen), broadcast LEFT ANTI join against the (deterministic
+    stand-in) blocklist dimension — zero shuffle on the corpus."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    hosted = blocklist_op.with_host(p)
+    blk = blocklist_op.synthetic_blocklist(hosted)
+    return blocklist_op.blocklist_filter(p, blk).select("doc_id", "host")

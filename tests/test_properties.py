@@ -184,21 +184,46 @@ def test_top_bigram_frac_matches_counter(tokens):
 
 
 # Case-mapping parity envelope: Python/Java lower() implement full
-# Unicode lowercasing (U+0130 'İ' → 'i' + combining dot, contextual
-# final sigma for 'Σ'); DuckDB's utf8proc uses the simple 1:1 mapping.
-# The engine (pandas UDFs) and the Spark SQL renderings agree with
-# each other; only the DuckDB oracle diverges, and ONLY on these two
-# code points — the same documented-envelope approach as the ASCII
-# whitespace pin, so the differential strategy excludes them.
+# Unicode lowercasing at the stdlib's Unicode version; DuckDB's
+# utf8proc uses the simple 1:1 mapping AND may ship older Unicode
+# tables (U+0130 'İ' → 'i'+combining dot, contextual final sigma for
+# 'Σ', and e.g. the Vithkuqi mappings added in Unicode 14 which this
+# DuckDB's utf8proc lacks entirely — found by this very test). The
+# engine (pandas UDFs) and the Spark SQL renderings agree with each
+# other; only the DuckDB oracle diverges. Rather than hand-enumerating
+# the drift (it moves with every utf8proc version), the divergent set
+# is COMPUTED once against the installed DuckDB and stripped from the
+# generated text — the same documented-envelope approach as the ASCII
+# whitespace pin, with the envelope measured instead of guessed.
+def _duck_lower_divergent() -> frozenset[str]:
+    import sys
+    import unicodedata
+
+    import duckdb
+    import pandas as pd
+
+    cased = [
+        c
+        for c in map(chr, range(sys.maxunicode + 1))
+        if unicodedata.category(c) in ("Lu", "Lt", "Ll") and c.lower() != c
+    ]
+    frame = pd.DataFrame({"c": cased})
+    con = duckdb.connect()
+    con.register("chars", frame)
+    rows = con.execute("SELECT c, lower(c) FROM chars").fetchall()
+    return frozenset(c for c, low in rows if low != c.lower())
+
+
+_DIVERGENT_LOWER = _duck_lower_divergent()
+
 _sql_text = st.text(
     alphabet=st.characters(
         codec="utf-8",
         categories=("L", "N", "P", "Zs"),
         include_characters=" \t\n一的是é",
-        exclude_characters="İΣ",
     ),
     max_size=400,
-)
+).map(lambda s: "".join(c for c in s if c not in _DIVERGENT_LOWER))
 
 
 def _duck_one_col(sql_fn, texts, cols):
