@@ -43,6 +43,7 @@ HEADLINE = [
     "webtext_filter_pipeline",  # quality ∧ gopher ∧ scrub, pure codegen
     "url_dedup",  # normalize + hash-groupBy (FineWeb first pass)
     "line_dedup_clean",  # C4 line-level dedup: df agg + rebuild joins
+    "hygiene_pipeline",  # blocklist -> recency -> line dedup -> keep -> scrub, one plan
     "dedup_repeated_spans",  # substring-level: window hashes + island merge
     "ivf_build",  # index build: sampled k-means training (offline step)
     "ivf_topk",  # index-backed query: BLAS assign + blocked scoring + window

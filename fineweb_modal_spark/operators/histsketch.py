@@ -95,3 +95,78 @@ SELECT grp, CAST(max(n) AS BIGINT) AS n,
        {qcols}
 FROM cumed GROUP BY grp
 """.strip()
+
+
+def crossing_bin(
+    bins: DataFrame, q_num: int = 1, q_den: int = 4
+) -> DataFrame:
+    """(group_cols..., thr_bin): smallest bin whose cumulative count
+    reaches q_num/q_den of the group total — the INTEGER-EXACT
+    quantile crossing (q_den*cum >= q_num*n, no float interpolation),
+    so an engine and an oracle can never disagree on a boundary row.
+
+    Runs entirely over the tiny (group, bin, cnt) sketch relation."""
+    gcols = [c for c in bins.columns if c not in ("bin", "cnt")]
+    w = Window.partitionBy(*gcols).orderBy("bin")
+    wall = Window.partitionBy(*gcols)
+    cum = bins.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    return (
+        cum.where(F.lit(q_den) * F.col("cum") >= F.lit(q_num) * F.col("n"))
+        .groupBy(*gcols)
+        .agg(F.min("bin").alias("thr_bin"))
+    )
+
+
+def adaptive_cutoff_filter(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    q_num: int = 1,
+    q_den: int = 4,
+) -> DataFrame:
+    """Rows at or above their group's q-th histogram bin: the adaptive
+    per-group threshold pattern (FineWeb tunes quality cutoffs per
+    LANGUAGE, not globally). Plan at scale: one narrow (group, bin)
+    agg builds the sketch, the per-group threshold relation is
+    group-cardinality-sized -> broadcast back, the filter itself is
+    row-local codegen. No global sort, no per-group sort, corpus
+    scanned twice with the second scan column-pruned."""
+    bins = build_bins(df, value_col, group_cols)
+    thr = crossing_bin(bins, q_num, q_den)
+    return df.join(F.broadcast(thr), group_cols).where(
+        F.floor(F.col(value_col) / F.lit(HIST_W)) >= F.col("thr_bin")
+    )
+
+
+def adaptive_cutoff_oracle_sql(
+    items_sql: str,
+    value_col: str,
+    group_col: str,
+    q_num: int = 1,
+    q_den: int = 4,
+) -> str:
+    """DuckDB re-derivation of the same integer crossing rule."""
+    return f"""
+WITH items AS ({items_sql}),
+bins AS (
+  SELECT {group_col} AS grp,
+         CAST(floor({value_col} / {HIST_W}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM items GROUP BY 1, 2
+),
+cumed AS (
+  SELECT grp, bin, cnt,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY grp) AS n
+  FROM bins
+),
+thr AS (
+  SELECT grp, min(bin) AS thr_bin FROM cumed
+  WHERE {q_den} * cum >= {q_num} * n GROUP BY grp
+)
+SELECT i.* FROM items i
+JOIN thr t ON i.{group_col} = t.grp
+WHERE CAST(floor(i.{value_col} / {HIST_W}) AS BIGINT) >= t.thr_bin
+""".strip()

@@ -169,39 +169,53 @@ FROM {table}
 """.strip()
 
 
-def line_dedup_oracle_sql(
-    d: str, table: str = "documents", min_df: int = MIN_LINE_DF
+def rebuild_select_sql(
+    d: str, src: str, min_df: int = MIN_LINE_DF
 ) -> str:
-    """DuckDB re-derivation: parallel unnests zip (line, pos); the
-    FILTERed ordered string_agg rebuilds clean_text; df counted over
-    per-doc DISTINCT keys exactly like the engine."""
+    """DuckDB SELECT producing (doc_id, clean_text, n_kept, n_removed)
+    from a (doc_id, text) relation `src` — the whole line-dedup spec
+    as composable SQL. Parallel unnests zip (line, pos); the FILTERed
+    ordered string_agg rebuilds clean_text; df counted over per-doc
+    DISTINCT keys exactly like the engine."""
     key = line_key_sql("line", d)
     trimmed = sd.ws_trim("line", d)
     return f"""
-WITH lined AS ({lined_corpus_sql(d, table)}),
-exploded AS (
+WITH __ld_exploded AS (
   SELECT doc_id,
          unnest(string_split(text, chr(10))) AS line,
          unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
-  FROM lined
+  FROM {src}
 ),
-lines AS (
+__ld_lines AS (
   SELECT doc_id, pos, line, {key} AS lkey
-  FROM exploded WHERE length({trimmed}) > 0
+  FROM __ld_exploded WHERE length({trimmed}) > 0
 ),
-boiler AS (
-  SELECT lkey FROM (SELECT DISTINCT doc_id, lkey FROM lines)
+__ld_boiler AS (
+  SELECT lkey FROM (SELECT DISTINCT doc_id, lkey FROM __ld_lines)
   GROUP BY lkey HAVING count(*) >= {min_df}
 ),
-flagged AS (
+__ld_flagged AS (
   SELECT l.doc_id, l.pos, l.line,
-         (l.lkey IN (SELECT lkey FROM boiler)) AS is_boiler
-  FROM lines l
+         (l.lkey IN (SELECT lkey FROM __ld_boiler)) AS is_boiler
+  FROM __ld_lines l
 )
 SELECT doc_id,
-       md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
-                    FILTER (WHERE NOT is_boiler), '')) AS clean_md5,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE NOT is_boiler), '') AS clean_text,
        CAST(count(*) FILTER (WHERE NOT is_boiler) AS BIGINT) AS n_kept,
        CAST(count(*) FILTER (WHERE is_boiler) AS BIGINT) AS n_removed
-FROM flagged GROUP BY doc_id
+FROM __ld_flagged GROUP BY doc_id
+""".strip()
+
+
+def line_dedup_oracle_sql(
+    d: str, table: str = "documents", min_df: int = MIN_LINE_DF
+) -> str:
+    """Gate oracle: the rebuild over the planted lined corpus, with
+    clean_text projected to its md5 (hash-friendly)."""
+    return f"""
+WITH lined AS ({lined_corpus_sql(d, table)}),
+rebuilt AS ({rebuild_select_sql(d, "lined", min_df)})
+SELECT doc_id, md5(clean_text) AS clean_md5, n_kept, n_removed
+FROM rebuilt
 """.strip()

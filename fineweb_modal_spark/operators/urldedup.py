@@ -87,3 +87,69 @@ SELECT {normalize_sql("url", d)} AS norm_url,
        count(*) AS n_copies
 FROM corpus GROUP BY 1
 """.strip()
+
+# ---------------------------------------------------------------------------
+# Recency keeper: the RE-CRAWL semantics (keep the newest capture)
+# ---------------------------------------------------------------------------
+
+def recrawl_feed_sql(d: str, pages: str = "pages") -> str:
+    """pages ∪ a one-day-later re-crawl of every 4th URL (same url,
+    fresher warc_ts, new doc_id) — the newer capture must win each
+    normalized key. `+ INTERVAL 1 DAY` parses in both dialects."""
+    return (
+        f"SELECT doc_id, url, warc_ts FROM {pages} "
+        f"UNION ALL "
+        f"SELECT doc_id + 5000000 AS doc_id, url, "
+        f"warc_ts + INTERVAL 1 DAY AS warc_ts "
+        f"FROM {pages} WHERE doc_id % 4 = 0"
+    )
+
+
+def url_dedup_latest(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(norm_url, last_ts, keeper_doc_id, n_copies): per normalized
+    URL keep the NEWEST capture (crawl-recency policy — what a
+    CommonCrawl refresh actually wants), ties broken by max doc_id.
+
+    max(struct(warc_ts, doc_id)) is an ordinary partial-aggregable
+    max — ONE two-phase agg (Spark plans struct-max as SortAggregate,
+    but the partial/final split still combines map-side, so only one
+    row per key crosses the shuffle). The window-row_number
+    formulation of the same policy shuffles EVERY row to its group
+    before discarding all but one."""
+    return (
+        with_norm_url(df, url_col)
+        .groupBy("norm_url")
+        .agg(
+            F.max(F.struct("warc_ts", "doc_id")).alias("__m"),
+            F.count("*").alias("n_copies"),
+        )
+        .select(
+            "norm_url",
+            F.col("__m.warc_ts").alias("last_ts"),
+            F.col("__m.doc_id").alias("keeper_doc_id"),
+            "n_copies",
+        )
+    )
+
+
+def url_dedup_latest_oracle_sql(d: str, pages_select: str) -> str:
+    """Oracle states the policy as a window rank (clarity over speed):
+    newest warc_ts, then highest doc_id, wins."""
+    feed = recrawl_feed_sql(d)
+    return f"""
+WITH pages AS ({pages_select}),
+feed AS ({feed}),
+keyed AS (
+  SELECT doc_id, warc_ts, {normalize_sql("url", d)} AS norm_url FROM feed
+),
+ranked AS (
+  SELECT norm_url, warc_ts, doc_id,
+         row_number() OVER (PARTITION BY norm_url
+                            ORDER BY warc_ts DESC, doc_id DESC) AS rn,
+         count(*) OVER (PARTITION BY norm_url) AS n_copies
+  FROM keyed
+)
+SELECT norm_url, warc_ts AS last_ts, doc_id AS keeper_doc_id,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM ranked WHERE rn = 1
+""".strip()

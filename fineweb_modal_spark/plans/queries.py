@@ -2768,3 +2768,76 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     hosted = blocklist_op.with_host(p)
     blk = blocklist_op.synthetic_blocklist(hosted)
     return blocklist_op.blocklist_filter(p, blk).select("doc_id", "host")
+
+
+@register(
+    "url_dedup_latest",
+    urldedup.url_dedup_latest_oracle_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_url_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl recency keeper: newest capture per normalized URL
+    (ties by doc_id) over pages ∪ a planted one-day-later refresh.
+    max(struct(warc_ts, doc_id)) keeps this a plain two-phase partial
+    agg — no per-group sort, unlike the row_number formulation the
+    oracle states the policy with."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    p.createOrReplaceTempView("pages_urls")
+    feed = spark.sql(urldedup.recrawl_feed_sql(sd.SPARK, pages="pages_urls"))
+    return urldedup.url_dedup_latest(feed)
+
+
+_ADAPTIVE_ITEMS = (
+    f"SELECT doc_id, lang, CAST({sd.n_words_sql('text', 'duckdb')} AS BIGINT)"
+    " AS n_words FROM documents"
+)
+
+
+@register(
+    "adaptive_quality_cutoff",
+    histsketch.adaptive_cutoff_oracle_sql(
+        _ADAPTIVE_ITEMS, "n_words", "lang"
+    ),
+)
+def q_adaptive_quality_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-LANGUAGE quality threshold (FineWeb tunes cutoffs
+    per language, never globally): drop each language's shortest
+    quartile by word count. The threshold comes from the mergeable
+    histogram sketch via an INTEGER-EXACT crossing rule (q_den*cum >=
+    q_num*n) — no float interpolation, so no engine/oracle boundary
+    drift — then broadcasts back over a column-pruned second scan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(sd.n_words_sql("text", sd.SPARK)).cast("long").alias(
+            "n_words"
+        ),
+    )
+    return histsketch.adaptive_cutoff_filter(
+        docs, "n_words", ["lang"]
+    ).select("doc_id", "lang", "n_words")
+
+
+from ..operators import hygiene as hygiene_op  # noqa: E402
+
+
+@register(
+    "hygiene_pipeline",
+    hygiene_op.hygiene_oracle_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_hygiene_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five hygiene stages composed as ONE plan over a synthetic
+    crawl-refresh feed: domain blocklist → recency URL keeper → line
+    dedup → quality keep → scrub(kept). Every stage has a planted
+    positive (blocked hosts, one-day-later re-crawls with extended
+    text, cross-doc banner/footer lines) and the scrubbed-text md5
+    pins the byte-exact outcome of the whole chain — the stage
+    BOUNDARIES (column contracts, row identity across joins) that the
+    per-stage gates cannot see."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    p.createOrReplaceTempView("pages_hygiene")
+    feed = spark.sql(hygiene_op.hygiene_feed_sql(sd.SPARK, "pages_hygiene"))
+    return hygiene_op.run_hygiene(feed)
