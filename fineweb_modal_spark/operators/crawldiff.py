@@ -1,0 +1,123 @@
+"""Snapshot diff between two crawls: added / removed / changed /
+unchanged per normalized URL.
+
+The primitive behind incremental curation: a new CommonCrawl dump
+lands and the pipeline should re-score only what actually changed,
+retire what disappeared, and admit what is new — instead of
+re-running the full DAG over 100 TB. (The reference re-embeds whole
+dumps; diffing is how the toolbox avoids that at scale.)
+
+Spec: key = normalized URL (urldedup.normalize_sql), content identity
+= md5(text). One row per key per snapshot is a PRECONDITION (run
+url_dedup/url_dedup_latest first; the planted corpus guarantees it).
+
+Scale shape: each snapshot collapses to (norm_url, md5) — codegen,
+column-pruned — then ONE full-outer shuffle join on norm_url. The
+status CASE is row-local. No driver-side anything; at 10^12 keys the
+join is the floor for any exact diff, and both sides shuffle the
+16-byte digest, never the text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import sqldialect as sd
+from . import urldedup
+
+S, D = sd.SPARK, sd.DUCKDB
+
+
+def new_snapshot_sql(d: str, pages: str = "pages") -> str:
+    """The re-crawl: every 11th URL vanished, every 7th (surviving)
+    page was revised, and a cohort of brand-new URLs appeared."""
+    return (
+        f"SELECT doc_id, url, "
+        f"CASE WHEN doc_id % 7 = 0 THEN text || ' revised' ELSE text END AS text "
+        f"FROM {pages} WHERE doc_id % 11 <> 0 "
+        f"UNION ALL "
+        f"SELECT doc_id + 7000000 AS doc_id, "
+        f"'https://h' || CAST(doc_id % 13 AS STRING) || '.example.com/new/' "
+        f"|| CAST(doc_id AS STRING) AS url, "
+        f"'fresh page body ' || CAST(doc_id AS STRING) AS text "
+        f"FROM {pages} WHERE doc_id % 17 = 0"
+    )
+
+
+def _keyed(df: DataFrame, tag: str) -> DataFrame:
+    return urldedup.with_norm_url(df).select(
+        "norm_url", F.md5(F.coalesce("text", F.lit(""))).alias(f"{tag}_md5")
+    )
+
+
+def crawl_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(norm_url, status) over the union of both snapshots' keys."""
+    o, n = _keyed(old, "old"), _keyed(new, "new")
+    joined = o.join(n, "norm_url", "full_outer")
+    return joined.select(
+        "norm_url",
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") != F.col("new_md5"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def crawl_diff_oracle_sql(d: str, pages_select: str) -> str:
+    norm = urldedup.normalize_sql("url", d)
+    return f"""
+WITH pages AS ({pages_select}),
+new_snap AS ({new_snapshot_sql(d)}),
+o AS (SELECT {norm} AS norm_url, md5(coalesce(text, '')) AS old_md5 FROM pages),
+n AS (SELECT {norm} AS norm_url, md5(coalesce(text, '')) AS new_md5 FROM new_snap)
+SELECT coalesce(o.norm_url, n.norm_url) AS norm_url,
+       CASE WHEN o.norm_url IS NULL THEN 'added'
+            WHEN n.norm_url IS NULL THEN 'removed'
+            WHEN old_md5 <> new_md5 THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON o.norm_url = n.norm_url
+""".strip()
+
+
+def incremental_rescore(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Quality keep/drop for ONLY the added/changed rows of the new
+    snapshot — the downstream payoff of the diff: at 10^12 docs the
+    expensive battery touches the (small) delta, not the corpus.
+
+    The diff's (norm_url, status) relation is delta-sized after the
+    status filter, and joins the new snapshot on its already-computed
+    norm_url — text flows once, only for delta rows."""
+    from . import quality
+
+    delta_keys = crawl_diff(old, new).where(
+        F.col("status").isin("added", "changed")
+    )
+    delta = urldedup.with_norm_url(new).join(delta_keys, "norm_url")
+    scored = quality.with_keep(quality.with_signals(delta))
+    return scored.select("doc_id", "norm_url", "status", "keep")
+
+
+def incremental_rescore_oracle_sql(d: str, pages_select: str) -> str:
+    from . import quality
+
+    diff = crawl_diff_oracle_sql(d, pages_select)
+    norm = urldedup.normalize_sql("url", d)
+    keep = quality.keep_sql(
+        d, table="delta", text_col="text", key_cols="doc_id, norm_url, status"
+    )
+    return f"""
+WITH diff AS ({diff}),
+new_snap2 AS (
+  WITH pages AS ({pages_select})
+  {new_snapshot_sql(d)}
+),
+delta AS (
+  SELECT s.doc_id, s.text, d.norm_url, d.status
+  FROM (SELECT doc_id, text, {norm} AS norm_url FROM new_snap2) s
+  JOIN diff d ON s.norm_url = d.norm_url
+  WHERE d.status IN ('added', 'changed')
+)
+SELECT doc_id, norm_url, status, keep FROM ({keep})
+""".strip()

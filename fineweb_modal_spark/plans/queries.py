@@ -2841,3 +2841,48 @@ def q_hygiene_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     p.createOrReplaceTempView("pages_hygiene")
     feed = spark.sql(hygiene_op.hygiene_feed_sql(sd.SPARK, "pages_hygiene"))
     return hygiene_op.run_hygiene(feed)
+
+
+from ..operators import crawldiff as crawldiff_op  # noqa: E402
+
+
+@register(
+    "crawl_diff",
+    crawldiff_op.crawl_diff_oracle_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot crawl diff (the incremental-curation primitive):
+    pages vs a planted re-crawl where every 11th URL vanished, every
+    7th survivor was revised, and every 17th spawned a new URL. Each
+    snapshot collapses to (norm_url, md5) codegen-side; one full-outer
+    shuffle join on norm_url classifies added/removed/changed/
+    unchanged — digests shuffle, text never does."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    p.createOrReplaceTempView("pages_diff")
+    new_snap = spark.sql(
+        crawldiff_op.new_snapshot_sql(sd.SPARK, "pages_diff")
+    )
+    old = p.select("doc_id", "url", "text")
+    return crawldiff_op.crawl_diff(old, new_snap)
+
+
+@register(
+    "incremental_rescore",
+    crawldiff_op.incremental_rescore_oracle_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_incremental_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff-driven incremental curation: the quality battery runs
+    ONLY over the crawl delta (added/changed URLs) — the whole reason
+    to diff at 10^12-doc scale. Delta keys are status-filtered before
+    the join, so text flows once and only for delta rows."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    p.createOrReplaceTempView("pages_diff2")
+    new_snap = spark.sql(
+        crawldiff_op.new_snapshot_sql(sd.SPARK, "pages_diff2")
+    )
+    old = p.select("doc_id", "url", "text")
+    return crawldiff_op.incremental_rescore(old, new_snap)

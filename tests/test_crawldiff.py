@@ -1,0 +1,48 @@
+"""Crawl snapshot diff + incremental re-score semantics."""
+
+from __future__ import annotations
+
+from fineweb_modal_spark.operators import crawldiff
+
+
+def _snaps(spark):
+    old = spark.createDataFrame(
+        [
+            (1, "https://a.example/keep", "same body"),
+            (2, "https://a.example/edit", "old body"),
+            (3, "https://a.example/gone", "vanishing body"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (11, "http://www.a.example/keep/", "same body"),
+            (12, "https://a.example/edit", "new body"),
+            (14, "https://a.example/fresh", "brand new body with words"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    return old, new
+
+
+def test_crawl_diff_statuses(spark):
+    old, new = _snaps(spark)
+    out = {r.norm_url: r.status for r in crawldiff.crawl_diff(old, new).collect()}
+    assert out == {
+        "a.example/keep": "unchanged",  # URL respelled, content identical
+        "a.example/edit": "changed",
+        "a.example/gone": "removed",
+        "a.example/fresh": "added",
+    }
+
+
+def test_incremental_rescore_touches_only_delta(spark):
+    old, new = _snaps(spark)
+    rows = crawldiff.incremental_rescore(old, new).collect()
+    got = {(r.norm_url, r.status) for r in rows}
+    assert got == {
+        ("a.example/edit", "changed"),
+        ("a.example/fresh", "added"),
+    }
+    # every delta row carries a concrete keep decision
+    assert all(r.keep in (True, False) for r in rows)
