@@ -61,10 +61,16 @@ def relined_sql(d: str) -> str:
     )
 
 
-def run_hygiene(feed: DataFrame) -> DataFrame:
+def run_hygiene(feed: DataFrame, materialize: bool = True) -> DataFrame:
     """(doc_id, keep, drop_reason, n_removed, scrub_md5) — the five
-    stages composed as ONE DataFrame plan over a (doc_id, url,
-    warc_ts, text) crawl feed."""
+    stages composed over a (doc_id, url, warc_ts, text) crawl feed.
+
+    materialize=True localCheckpoints the post-dedup snapshot before
+    line dedup: line dedup reads its input THREE times (df agg, key
+    triples, rebuild), and without a materialization each read would
+    recompute the blocklist + recency joins — in production this
+    boundary is a committed table between jobs, and the checkpoint is
+    the single-plan analog (same move as dedup.resolve_clusters)."""
     hosted = bl.with_host(feed)
     blk = bl.synthetic_blocklist(hosted)
     surv = hosted.join(F.broadcast(blk.select("host")), "host", "left_anti")
@@ -73,6 +79,8 @@ def run_hygiene(feed: DataFrame) -> DataFrame:
     )
     kept = surv.join(keepers, "doc_id")
     lined = kept.select("doc_id", F.expr(relined_sql(S)).alias("text"))
+    if materialize:
+        lined = lined.localCheckpoint(eager=False)
     cleaned = ld.line_dedup(lined).select(
         "doc_id", F.col("clean_text").alias("text"), "n_removed"
     )
