@@ -95,3 +95,13 @@ SELECT h.doc_id, h.host
 FROM hosted h
 WHERE h.host NOT IN (SELECT host FROM blk)
 """.strip()
+
+
+def host_py(url: str) -> str:
+    """Pure-Python mirror of host_sql for the differential tests."""
+    import re
+
+    e = (url or "").lower()
+    e = re.sub(r"^https?://", "", e)
+    e = re.sub(r"^www\.", "", e)
+    return re.sub(r"[/?#].*$", "", e)

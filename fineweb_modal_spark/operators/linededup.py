@@ -219,3 +219,11 @@ rebuilt AS ({rebuild_select_sql(d, "lined", min_df)})
 SELECT doc_id, md5(clean_text) AS clean_md5, n_kept, n_removed
 FROM rebuilt
 """.strip()
+
+
+def line_key_py(line: str) -> int:
+    """Pure-Python mirror of line_key_sql for the differential tests."""
+    import hashlib
+
+    norm = "ld:" + (line or "").strip(sd.WS_EDGE_CHARS).lower()
+    return int(hashlib.md5(norm.encode("utf-8")).hexdigest()[:15], 16)

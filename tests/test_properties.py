@@ -285,3 +285,40 @@ def test_perplexity_sql_matches_python_spec(texts):
         (g,) = got[i]
         assert abs(g - want) <= 4e-15 * max(abs(want), 1.0), (t, g, want)
         assert round(g, 6) == round(want, 6)
+
+
+_no_nl_text = _sql_text.map(lambda s: s.replace("\n", " "))
+
+
+@given(st.lists(_no_nl_text, min_size=1, max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_host_sql_matches_python_mirror(urls):
+    from fineweb_modal_spark.functions import sqldialect as sd
+    from fineweb_modal_spark.operators import blocklist
+
+    got = _duck_one_col(
+        lambda: "SELECT doc_id, "
+        + blocklist.host_sql("text", sd.DUCKDB)
+        + " AS host FROM docs",
+        urls,
+        ("host",),
+    )
+    for i, u in enumerate(urls):
+        assert got[i] == (blocklist.host_py(u),), (u, got[i])
+
+
+@given(st.lists(_no_nl_text, min_size=1, max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_line_key_sql_matches_python_mirror(lines):
+    from fineweb_modal_spark.functions import sqldialect as sd
+    from fineweb_modal_spark.operators import linededup
+
+    got = _duck_one_col(
+        lambda: "SELECT doc_id, "
+        + linededup.line_key_sql("text", sd.DUCKDB)
+        + " AS k FROM docs",
+        lines,
+        ("k",),
+    )
+    for i, ln in enumerate(lines):
+        assert got[i] == (linededup.line_key_py(ln),), (ln, got[i])
