@@ -121,3 +121,58 @@ delta AS (
 )
 SELECT doc_id, norm_url, status, keep FROM ({keep})
 """.strip()
+
+
+def _score_keys(snap: DataFrame, keys: DataFrame) -> DataFrame:
+    """Quality keep over the snapshot rows whose norm_url is in keys."""
+    from . import quality
+
+    rows = urldedup.with_norm_url(snap).join(keys.select("norm_url"), "norm_url")
+    return quality.with_keep(quality.with_signals(rows)).select(
+        "norm_url", "doc_id", "keep"
+    )
+
+
+def merge_rescored(old: DataFrame, new: DataFrame) -> DataFrame:
+    """The incremental-curation contract, closed: previously-computed
+    scores for UNCHANGED keys + freshly-computed scores for the
+    added/changed delta, removed keys retired — and the result must
+    equal a full recompute over the new snapshot (which is exactly
+    what the gate's oracle asserts).
+
+    old's battery pass stands in for the stored score table a real
+    deployment reads back; only the delta pays the battery. Unchanged
+    rows REUSE the stored score but carry the NEW snapshot's row
+    identity (content-identical text, so the score transfers; the
+    capture id must not — the first toy test caught exactly that).
+    The diff relation is consumed twice (delta keys, unchanged keys),
+    so it is localCheckpoint'ed — the committed-diff-table analog."""
+    diff = crawl_diff(old, new).localCheckpoint(eager=False)
+    delta_keys = diff.where(F.col("status").isin("added", "changed"))
+    unchanged_keys = diff.where(F.col("status") == "unchanged")
+    stored_scores = _score_keys(old, unchanged_keys).select(
+        "norm_url", "keep"
+    )
+    unchanged_part = (
+        urldedup.with_norm_url(new)
+        .join(unchanged_keys.select("norm_url"), "norm_url")
+        .select("norm_url", "doc_id")
+        .join(stored_scores, "norm_url")
+    )
+    return _score_keys(new, delta_keys).unionByName(unchanged_part)
+
+
+def merge_rescored_oracle_sql(d: str, pages_select: str) -> str:
+    """Full recompute over the new snapshot — incremental == batch."""
+    from . import quality
+
+    norm = urldedup.normalize_sql("url", d)
+    keep = quality.keep_sql(
+        d, table="keyed", text_col="text", key_cols="norm_url, doc_id"
+    )
+    return f"""
+WITH pages AS ({pages_select}),
+new_snap AS ({new_snapshot_sql(d)}),
+keyed AS (SELECT doc_id, text, {norm} AS norm_url FROM new_snap)
+SELECT norm_url, doc_id, keep FROM ({keep})
+""".strip()

@@ -2886,3 +2886,23 @@ def q_incremental_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old = p.select("doc_id", "url", "text")
     return crawldiff_op.incremental_rescore(old, new_snap)
+
+
+@register(
+    "merge_rescored_snapshot",
+    crawldiff_op.merge_rescored_oracle_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_merge_rescored_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental == batch, proven: merge stored scores for unchanged
+    URLs with fresh delta scores and retire removed URLs; the oracle is
+    a FULL recompute over the new snapshot. Hash equality is the
+    contract that lets a 10^12-doc pipeline trust its delta path."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    p.createOrReplaceTempView("pages_diff3")
+    new_snap = spark.sql(
+        crawldiff_op.new_snapshot_sql(sd.SPARK, "pages_diff3")
+    )
+    old = p.select("doc_id", "url", "text")
+    return crawldiff_op.merge_rescored(old, new_snap)

@@ -46,3 +46,24 @@ def test_incremental_rescore_touches_only_delta(spark):
     }
     # every delta row carries a concrete keep decision
     assert all(r.keep in (True, False) for r in rows)
+
+
+def test_merge_rescored_equals_full_recompute(spark):
+    from fineweb_modal_spark.operators import quality, urldedup
+
+    old, new = _snaps(spark)
+    merged = {
+        (r.norm_url, r.doc_id, r.keep)
+        for r in crawldiff.merge_rescored(old, new).collect()
+    }
+    full = {
+        (r.norm_url, r.doc_id, r.keep)
+        for r in quality.with_keep(
+            quality.with_signals(urldedup.with_norm_url(new))
+        )
+        .select("norm_url", "doc_id", "keep")
+        .collect()
+    }
+    assert merged == full
+    # removed URL is retired
+    assert all(u != "a.example/gone" for u, _, _ in merged)
