@@ -457,3 +457,30 @@ reach(id, label) AS (
 SELECT id AS doc_id, min(label) AS keeper_doc_id
 FROM reach GROUP BY id
 """.strip()
+
+
+def apply_keepers(corpus: DataFrame, clusters: DataFrame) -> DataFrame:
+    """The dedup pass, applied: corpus filtered to cluster keepers
+    (singletons label themselves, so one LEFT SEMI join on the
+    keeper condition drops exactly the non-keeper cluster members).
+    The cluster relation is two BIGINTs — at corpus scale this is a
+    narrow-key shuffle join against a text-carrying side that is
+    scanned once and never widened."""
+    keepers = clusters.where(
+        F.col("doc_id") == F.col("keeper_doc_id")
+    ).select("doc_id")
+    return corpus.join(keepers, "doc_id", "left_semi")
+
+
+def apply_keepers_oracle_sql(d: str, threshold: float = DEFAULT_JACCARD) -> str:
+    clusters = resolve_clusters_oracle_sql(d, threshold)
+    corpus = corpus_with_near_dups_sql(d)
+    return f"""
+WITH clusters AS ({clusters}),
+corpus2 AS ({corpus})
+SELECT c.doc_id, md5(c.text) AS text_md5
+FROM corpus2 c
+WHERE c.doc_id IN (
+  SELECT doc_id FROM clusters WHERE doc_id = keeper_doc_id
+)
+""".strip()

@@ -2906,3 +2906,23 @@ def q_merge_rescored_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old = p.select("doc_id", "url", "text")
     return crawldiff_op.merge_rescored(old, new_snap)
+
+
+@register("dedup_apply_keepers", dedup.apply_keepers_oracle_sql(D))
+def q_dedup_apply_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup story closed end-to-end: LSH pairs → connected
+    components → corpus FILTERED to cluster keepers (planted
+    near-dup copies gone, their originals and all singletons kept),
+    text md5 pinning row identity. The cluster relation is two
+    BIGINTs; the text side is scanned once."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    corpus = spark.sql(dedup.corpus_with_near_dups_sql(sd.SPARK))
+    pairs = dedup.lsh_pairs(corpus).where(
+        F.col("jaccard") >= dedup.DEFAULT_JACCARD
+    )
+    clusters = dedup.resolve_clusters(pairs, corpus.select("doc_id"))
+    return dedup.apply_keepers(corpus, clusters).select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )

@@ -604,3 +604,20 @@ def test_hist_sketch_merge_and_error_bound(spark):
         for q, e in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
             k = math.ceil(q * len(xs))
             assert abs(e - xs[k - 1]) <= hs.HIST_W, (src, q, e, xs[k - 1])
+
+
+def test_apply_keepers_drops_exactly_non_keepers(spark):
+    from fineweb_modal_spark.operators import dedup as dd
+
+    corpus = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 7, 9)],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (7, 7), (9, 7)],
+        "doc_id long, keeper_doc_id long",
+    )
+    kept = sorted(
+        r.doc_id for r in dd.apply_keepers(corpus, clusters).collect()
+    )
+    assert kept == [1, 3, 7]
