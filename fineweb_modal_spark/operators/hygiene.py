@@ -62,8 +62,8 @@ def relined_sql(d: str) -> str:
 
 
 def run_hygiene(feed: DataFrame, materialize: bool = True) -> DataFrame:
-    """(doc_id, keep, drop_reason, n_removed, scrub_md5) — the five
-    stages composed over a (doc_id, url, warc_ts, text) crawl feed.
+    """(doc_id, keep, drop_reason, n_removed, scrubbed_text) — the
+    five stages composed over a (doc_id, url, warc_ts, text) feed.
 
     materialize=True localCheckpoints the post-dedup snapshot before
     line dedup: line dedup reads its input THREE times (df agg, key
@@ -92,8 +92,8 @@ def run_hygiene(feed: DataFrame, materialize: bool = True) -> DataFrame:
         "n_removed",
         F.when(
             F.col("keep"),
-            F.md5(scrub.scrub_expr(F.coalesce("text", F.lit("")))),
-        ).alias("scrub_md5"),
+            scrub.scrub_expr(F.coalesce("text", F.lit(""))),
+        ).alias("scrubbed_text"),
     )
 
 

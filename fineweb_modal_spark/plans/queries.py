@@ -2840,7 +2840,13 @@ def q_hygiene_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = pages_mod.load_pages(spark, sf_dir, with_html=False)
     p.createOrReplaceTempView("pages_hygiene")
     feed = spark.sql(hygiene_op.hygiene_feed_sql(sd.SPARK, "pages_hygiene"))
-    return hygiene_op.run_hygiene(feed)
+    return hygiene_op.run_hygiene(feed).select(
+        "doc_id",
+        "keep",
+        "drop_reason",
+        "n_removed",
+        F.md5("scrubbed_text").alias("scrub_md5"),
+    )
 
 
 from ..operators import crawldiff as crawldiff_op  # noqa: E402

@@ -21,6 +21,10 @@ resume       partition-by-partition with manifest checkpointing —
 incremental  Structured Streaming AvailableNow over a growing pages
              directory (streaming/incremental.py); --input must then
              be a directory of pages parquet (url/warc_ts/text/lang).
+hygiene      the composed five-stage hygiene pass (domain blocklist →
+             recency URL keeper → line dedup → quality keep → scrub)
+             over a crawl-feed parquet dir (doc_id/url/warc_ts/text),
+             committed partitioned like batch.
 
 Prints one JSON metrics line to stdout (docs, keep rate, wall
 seconds) — the cluster-side analog of bench.py's contract.
@@ -38,7 +42,11 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="sf dir (batch/resume) or pages parquet dir (incremental)")
     ap.add_argument("--output", required=True)
-    ap.add_argument("--mode", default="batch", choices=["batch", "resume", "incremental"])
+    ap.add_argument(
+        "--mode",
+        default="batch",
+        choices=["batch", "resume", "incremental", "hygiene"],
+    )
     ap.add_argument("--granularity", default="day", choices=["day", "minute"])
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument(
@@ -59,7 +67,37 @@ def main(argv: list[str] | None = None) -> int:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     t0 = time.monotonic()
-    if args.mode == "incremental":
+    if args.mode == "hygiene":
+        # composed hygiene pass over a crawl-feed parquet dir
+        # (doc_id, url, warc_ts, text): blocklist -> recency keeper ->
+        # line dedup -> quality keep -> scrub, committed partitioned.
+        from fineweb_modal_spark.operators import hygiene
+
+        feed = spark.read.parquet(args.input).select(
+            "doc_id", "url", "warc_ts", "text"
+        )
+        res = hygiene.run_hygiene(feed).join(
+            feed.select("doc_id", "url", "warc_ts"), "doc_id"
+        )
+        df = sinks.with_partition_cols(
+            res, granularity=args.granularity
+        ).select(
+            "url", "ds", "salt", "doc_id", "keep", "drop_reason",
+            "n_removed", "scrubbed_text",
+        )
+        rows = [
+            sinks.write_partition(
+                spark, df.where(F.col("ds") == F.lit(ds)), args.output, ds
+            )
+            for ds in sinks.list_partitions(df)
+        ]
+        out = {
+            "mode": "hygiene",
+            "partitions_committed": len(rows),
+            "rows": sum(r["n_rows"] for r in rows),
+            "keep": sum(r["n_keep"] for r in rows),
+        }
+    elif args.mode == "incremental":
         from fineweb_modal_spark.streaming import incremental
 
         ckpt = args.checkpoint or (args.output.rstrip("/") + "_ckpt")

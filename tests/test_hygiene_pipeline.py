@@ -39,7 +39,8 @@ def test_recency_winner_and_line_dedup_visible_in_output(spark):
         assert r.n_removed >= 1
     if 6 in out:  # a.example not in the synthetic blocklist draw
         assert out[6].keep
-        assert out[6].scrub_md5 is not None
+        assert out[6].scrubbed_text is not None
+        assert "updated edition" in out[6].scrubbed_text
 
 
 def test_blocked_hosts_absent(spark):

@@ -95,3 +95,31 @@ def test_job_gopher_flag(spark, tmp_path):
     for r in got.collect():
         if r.keep:
             assert plain[r.url], r.url
+
+
+def test_job_hygiene_mode(spark, tmp_path):
+    """--mode hygiene runs the composed five-stage pass over a crawl
+    feed parquet dir and commits partitioned output."""
+    import jobs.run_pipeline as job
+
+    from fineweb_modal_spark import sinks
+    from fineweb_modal_spark.sources import pages as pages_mod
+
+    feed_dir = str(tmp_path / "feed")
+    pages_mod.load_pages(spark, "/root/testdata/sf0.001", with_html=False) \
+        .select("doc_id", "url", "warc_ts", "text") \
+        .write.parquet(feed_dir)
+    out = str(tmp_path / "hygiene_out")
+    rc = job.main(
+        ["--input", feed_dir, "--output", out,
+         "--mode", "hygiene", "--granularity", "minute"]
+    )
+    assert rc == 0
+    got = sinks.read_output(spark, out)
+    assert {"url", "ds", "salt", "doc_id", "keep", "drop_reason",
+            "n_removed", "scrubbed_text"} <= set(got.columns)
+    rows = got.collect()
+    assert len(rows) > 0
+    # kept rows carry scrubbed text; dropped rows carry none
+    for r in rows:
+        assert (r.scrubbed_text is not None) == bool(r.keep)
