@@ -105,3 +105,81 @@ def host_py(url: str) -> str:
     e = re.sub(r"^https?://", "", e)
     e = re.sub(r"^www\.", "", e)
     return re.sub(r"[/?#].*$", "", e)
+
+
+# ---------------------------------------------------------------------------
+# Blocklist PROPOSAL from quality feedback (the list's maintenance loop)
+# ---------------------------------------------------------------------------
+
+PROPOSE_MIN_DOCS = 10
+# integer-exact "keep rate < 0.3": 10*n_keep < 3*n_docs — no float
+# boundary can disagree between engine and oracle
+PROPOSE_RATE_NUM, PROPOSE_RATE_DEN = 3, 10
+
+
+def spam_feed_sql(d: str, pages: str = "pages") -> str:
+    """pages ∪ a digit-spam cohort concentrated on two new hosts —
+    deterministic low-keep-rate positives for the proposal rule."""
+    return (
+        f"SELECT doc_id, url, text FROM {pages} "
+        f"UNION ALL "
+        f"SELECT doc_id + 9000000 AS doc_id, "
+        f"'https://spam' || CAST(CASE WHEN doc_id % 12 = 0 THEN 0 ELSE 1 END"
+        f" AS STRING) || '.example.com/p/' "
+        f"|| CAST(doc_id AS STRING) AS url, "
+        f"'00 11 22 33 44 55 66 77 88 99 ' || CAST(doc_id AS STRING) AS text "
+        f"FROM {pages} WHERE doc_id % 6 = 0"
+    )
+
+
+def propose_blocklist(feed: DataFrame) -> DataFrame:
+    """(host, n_docs, n_keep, keep_rate): hosts whose corpus volume is
+    large enough to judge and whose quality keep rate is below the
+    threshold — the feedback loop that MAINTAINS the blocklist
+    dimension. One codegen battery pass + one host groupBy; the rule
+    is pure integer arithmetic."""
+    from . import quality
+
+    k = quality.with_keep(quality.with_signals(with_host(feed)))
+    g = k.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+    )
+    return g.where(
+        (F.col("n_docs") >= PROPOSE_MIN_DOCS)
+        & (
+            F.lit(PROPOSE_RATE_DEN) * F.col("n_keep")
+            < F.lit(PROPOSE_RATE_NUM) * F.col("n_docs")
+        )
+    ).select(
+        "host",
+        "n_docs",
+        "n_keep",
+        F.round(
+            F.col("n_keep").cast("double") / F.col("n_docs"), 6
+        ).alias("keep_rate"),
+    )
+
+
+def propose_blocklist_oracle_sql(d: str, pages_select: str) -> str:
+    from . import quality
+
+    keep = quality.keep_sql(
+        d, table="hosted", text_col="text", key_cols="doc_id, host"
+    )
+    return f"""
+WITH pages AS ({pages_select}),
+feed AS ({spam_feed_sql(d)}),
+hosted AS (
+  SELECT doc_id, text, {host_sql("url", d)} AS host FROM feed
+),
+k AS ({keep})
+SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS keep_rate
+FROM k GROUP BY host
+HAVING count(*) >= {PROPOSE_MIN_DOCS}
+   AND {PROPOSE_RATE_DEN} * sum(CASE WHEN keep THEN 1 ELSE 0 END)
+       < {PROPOSE_RATE_NUM} * count(*)
+""".strip()

@@ -62,8 +62,17 @@ def _windows(docs: DataFrame) -> DataFrame:
 
 def duplicated_spans(docs: DataFrame) -> DataFrame:
     """(doc_id, span_start, span_end, n_windows): merged token ranges
-    (1-based, inclusive) covered by duplicated >= SPAN_W-token runs."""
-    win = _windows(docs)
+    (1-based, inclusive) covered by duplicated >= SPAN_W-token runs.
+
+    The window-hash relation is consumed twice (occurrence agg, then
+    the semi-join side); without a boundary each consumer recomputes
+    every per-window md5 from text. localCheckpoint materializes it
+    once — the committed-index-table analog (at corpus scale the
+    window index IS a table you write once and probe). Locally the
+    two variants measure within shared-VM noise of each other (the
+    hash pass is not the sf0.1 bottleneck); the boundary is kept for
+    the at-scale semantics and flat plans."""
+    win = _windows(docs).localCheckpoint(eager=False)
     dup_h = (
         win.groupBy("h")
         .agg(F.count("*").alias("occ"))

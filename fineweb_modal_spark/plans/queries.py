@@ -2932,3 +2932,21 @@ def q_dedup_apply_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.apply_keepers(corpus, clusters).select(
         "doc_id", F.md5("text").alias("text_md5")
     )
+
+
+@register(
+    "auto_blocklist_proposal",
+    blocklist_op.propose_blocklist_oracle_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_auto_blocklist_proposal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocklist maintenance loop: hosts with enough volume
+    (>=10 docs) and an integer-exact low keep rate (10*n_keep <
+    3*n_docs) over pages ∪ a planted digit-spam cohort. One battery
+    pass + one host groupBy — the daily ops query that feeds the
+    stage-1 blocklist dimension."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    p.createOrReplaceTempView("pages_spam")
+    feed = spark.sql(blocklist_op.spam_feed_sql(sd.SPARK, "pages_spam"))
+    return blocklist_op.propose_blocklist(feed)

@@ -103,3 +103,25 @@ def test_synthetic_blocklist_deterministic(spark):
     a = sorted(r.host for r in blocklist.synthetic_blocklist(hosted).collect())
     b = sorted(r.host for r in blocklist.synthetic_blocklist(hosted).collect())
     assert a == b and len(a) >= 1
+
+
+def test_propose_blocklist_integer_rule(spark):
+    # host 'bad.example': 10 docs, 2 keeps -> 10*2 < 3*10 -> proposed.
+    # host 'ok.example': 10 docs, 3 keeps -> 10*3 < 30 is FALSE (exact
+    # boundary) -> NOT proposed. host 'tiny.example': volume below 10.
+    good = "the quick brown fox jumps over the lazy dog and runs far away home"
+    bad = "00 11 22 33 44 55 66 77 88 99"
+    rows = []
+    rid = 0
+    for host, n_keep, n in (("bad", 2, 10), ("ok", 3, 10), ("tiny", 0, 5)):
+        for i in range(n):
+            rid += 1
+            rows.append(
+                (rid, f"https://{host}.example/p/{i}",
+                 good if i < n_keep else bad)
+            )
+    feed = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {r.host: r for r in blocklist.propose_blocklist(feed).collect()}
+    assert set(out) == {"bad.example"}
+    assert out["bad.example"].n_docs == 10
+    assert out["bad.example"].n_keep == 2
