@@ -314,6 +314,7 @@ def _assign_cells(
     n_probe: int,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    emit_ccos: bool = False,
 ) -> DataFrame:
     """Top-`n_probe` nearest centroids per vector, by cosine (ties →
     lowest centroid_id), via one Arrow-batched BLAS matmul against the
@@ -322,6 +323,8 @@ def _assign_cells(
     Output: (vec_id, embedding:array<double>, vnorm, cell, crank).
     crank=1 is the home cell (IVF posting list); crank≤n_probe are the
     probe targets when the same relation is used as the query side.
+    With emit_ccos a `ccos` column (cosine to the assigned centroid)
+    is appended — the SemDeDup keep-priority key.
     """
     np = _np()
     cent_mat = np.ascontiguousarray(cent_mat, dtype=np.float64)
@@ -342,21 +345,23 @@ def _assign_cells(
                 (np.broadcast_to(cent_ids, cos.shape), -cos)
             )[:, :npe]
             ridx = np.repeat(np.arange(len(pdf)), npe)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].to_numpy()[ridx],
-                    "embedding": [E[i] for i in ridx],
-                    "vnorm": vn[ridx],
-                    "cell": cent_ids[order].ravel(),
-                    "crank": np.tile(np.arange(1, npe + 1), len(pdf)),
-                }
-            )
+            out = {
+                "vec_id": pdf[id_col].to_numpy()[ridx],
+                "embedding": [E[i] for i in ridx],
+                "vnorm": vn[ridx],
+                "cell": cent_ids[order].ravel(),
+                "crank": np.tile(np.arange(1, npe + 1), len(pdf)),
+            }
+            if emit_ccos:
+                out["ccos"] = np.take_along_axis(cos, order, axis=1).ravel()
+            yield pd.DataFrame(out)
 
+    schema = "vec_id bigint, embedding array<double>, vnorm double, cell bigint, crank int"
+    if emit_ccos:
+        schema += ", ccos double"
     return emb.select(
         F.col(id_col).alias(id_col), F.col(emb_col).alias(emb_col)
-    ).mapInPandas(
-        fn, "vec_id bigint, embedding array<double>, vnorm double, cell bigint, crank int"
-    )
+    ).mapInPandas(fn, schema)
 
 
 def train_ivf_centroids(
@@ -604,10 +609,12 @@ def _ivf_common_ctes(
     n_iters: int = N_ITERS,
     sample_cap: int = SAMPLE_CAP,
     table: str = "embeddings",
+    prelude: str = "",
 ) -> str:
     """Shared CTE prefix (WITH … probes): coarse-index training +
-    full-corpus assignment, used by both the exact-IVF and the IVF-PQ
-    oracles."""
+    full-corpus assignment, used by the exact-IVF, IVF-PQ and
+    SemDeDup oracles. `prelude` injects extra leading CTEs (e.g. a
+    constructed dup corpus that `table` then names)."""
     md5v = H.md5_i64("CAST(vec_id AS VARCHAR)", d)
     seed_key = H.md5_i64("'seed:' || CAST(vec_id AS VARCHAR)", d)
     to_dbl = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -642,7 +649,7 @@ cents_{i + 1} AS (
     dot_ec = _dot("e.emb", "c.cvec", d)
     nrm_e = _norm("e.emb", d)
     return f"""
-WITH params AS (
+WITH {prelude}params AS (
   SELECT CAST(greatest(floor(sqrt(count(*))), 1) AS BIGINT) AS c,
          CAST(greatest(CAST(count(*) AS BIGINT) // {sample_cap}, 1) AS BIGINT) AS m
   FROM {table}
@@ -1021,4 +1028,210 @@ rankedpq AS (
 )
 SELECT query_id, neighbor_id, round(score, 6) AS score, rank
 FROM rankedpq WHERE rank <= {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication over embeddings (Abbas et al. 2023,
+# arXiv:2303.09540) — cluster with the trained coarse IVF index, then
+# drop, within each cluster, every vector that has a near-duplicate
+# (cosine > tau) of higher keep-priority. Keep-priority follows the
+# paper: the member FARTHEST from its centroid survives (lowest
+# centroid-cosine first; ties broken by lowest vec_id). The dominance
+# rule is one relational pass — x is dropped iff some same-cell y has
+# cos(x, y) > tau and (r6(y.ccos), y.vec_id) < (r6(x.ccos), x.vec_id)
+# — deterministic, order-free, and exactly mirrored in the DuckDB
+# oracle. (Unlike the paper's sequential greedy scan this can drop a
+# chain's middle links; both ends of the chain policy are valid
+# SemDeDup variants, this one is the parallel-safe choice.)
+#
+# Priorities compare 6-decimal-rounded centroid cosines so the two
+# engines' float summation orders cannot flip a dominance decision;
+# the pairwise threshold compares r6(cos) > tau for the same reason.
+# ---------------------------------------------------------------------------
+
+SEM_TAU = 0.95
+
+
+def corpus_with_semdup_vectors_sql(d: str, table: str = "embeddings") -> str:
+    """embeddings ∪ copies with the FIRST component halved (cosine
+    ≈ 0.998 to the source at d=64 — above SEM_TAU). The LSH corpus's
+    ×1.01 parallel copies are unusable here: when a source AND its
+    copy both land in the k-means seed set, every vector's cosines to
+    the two seeds tie at the ~1e-12 level and the argmax flips between
+    the engines' float summation orders. Halving one component keeps
+    the pair a planted near-dup while separating seed cosines by
+    ~1e-3 ≫ any engine float divergence."""
+    if d == S:
+        dup = (
+            "concat(array(CAST(embedding[0] * CAST(0.5 AS FLOAT) AS FLOAT)), "
+            "slice(embedding, 2, 63))"
+        )
+    else:
+        dup = (
+            "list_concat([CAST(embedding[1] * CAST(0.5 AS FLOAT) AS FLOAT)], "
+            "embedding[2:64])"
+        )
+    return (
+        f"SELECT vec_id, embedding FROM {table} "
+        f"UNION ALL "
+        f"SELECT vec_id + 100000 AS vec_id, {dup} AS embedding "
+        f"FROM {table} WHERE vec_id % 10 = 0"
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    tau: float = SEM_TAU,
+    centroids=None,
+    cell_cap: int = CELL_CAP,
+    query_cap: int = QUERY_CAP,
+    persist: bool = True,
+) -> DataFrame:
+    """(vec_id, cell, centroid_cos, keep) for every input vector.
+
+    Plan shape matches `ivf_topk`: one zero-shuffle BLAS assignment
+    stage (home cell + centroid cosine), block keys that salt any
+    cell above the caps (dominance is OR-decomposable across
+    candidate blocks, so salting is lossless), ONE shuffle into the
+    cogrouped pairwise stage, then a distinct on dropped ids and a
+    broadcast-sized left join back. Within a block the cosine matrix
+    is computed in query chunks so peak memory stays O(chunk × cap).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(emb)
+    cent_ids, cent_mat = centroids
+    a = _assign_cells(emb, cent_ids, cent_mat, n_probe=1, emit_ccos=True)
+    if persist:
+        a = a.localCheckpoint(eager=False)
+    assign = a.select("vec_id", "embedding", "vnorm", "cell", "ccos")
+
+    sizes_rows = (
+        assign.groupBy("cell")
+        .agg(
+            F.ceil(F.count("*") / cell_cap).cast("int").alias("c_salts"),
+            F.ceil(F.count("*") / query_cap).cast("int").alias("q_salts"),
+        )
+        .collect()
+    )
+    salted = any(r.c_salts > 1 or r.q_salts > 1 for r in sizes_rows)
+    if salted:
+        sizes = emb.sparkSession.createDataFrame(
+            [(int(r.cell), int(r.c_salts), int(r.q_salts)) for r in sizes_rows],
+            "sz_cell bigint, sz_c_salts int, sz_q_salts int",
+        )
+        cand = (
+            assign.join(F.broadcast(sizes), F.col("cell") == F.col("sz_cell"))
+            .withColumn("c_salt", F.pmod(F.col("vec_id"), F.col("sz_c_salts")))
+            .withColumn("q_salt", F.explode(F.expr("sequence(0, sz_q_salts - 1)")))
+            .select(
+                F.col("cell").alias("b_cell"),
+                F.col("c_salt").alias("b_c_salt"),
+                F.col("q_salt").alias("b_q_salt"),
+                "vec_id", "embedding", "vnorm", "ccos",
+            )
+        )
+        qry = (
+            assign.join(F.broadcast(sizes), F.col("cell") == F.col("sz_cell"))
+            .withColumn("q_salt", F.pmod(F.col("vec_id"), F.col("sz_q_salts")))
+            .withColumn("c_salt", F.explode(F.expr("sequence(0, sz_c_salts - 1)")))
+            .select(
+                F.col("cell").alias("g_cell"),
+                F.col("c_salt").alias("g_c_salt"),
+                F.col("q_salt").alias("g_q_salt"),
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"),
+                F.col("vnorm").alias("qnorm"),
+                F.col("ccos").alias("qccos"),
+            )
+        )
+    else:
+        cand = assign.select(
+            F.col("cell").alias("b_cell"),
+            F.lit(0).alias("b_c_salt"),
+            F.lit(0).alias("b_q_salt"),
+            "vec_id", "embedding", "vnorm", "ccos",
+        )
+        qry = assign.select(
+            F.col("cell").alias("g_cell"),
+            F.lit(0).alias("g_c_salt"),
+            F.lit(0).alias("g_q_salt"),
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.col("vnorm").alias("qnorm"),
+            F.col("ccos").alias("qccos"),
+        )
+    np = _np()
+
+    def per_block(pq, pa):
+        import pandas as pd
+
+        if len(pq) == 0 or len(pa) == 0:
+            return pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
+        A = np.stack(pa["embedding"].to_numpy()).astype(np.float64)
+        an = pa["vnorm"].to_numpy()
+        aids = pa["vec_id"].to_numpy()
+        apri = np.round(pa["ccos"].to_numpy(), 6)
+        qids_all = pq["query_id"].to_numpy()
+        qn_all = pq["qnorm"].to_numpy()
+        qpri_all = np.round(pq["qccos"].to_numpy(), 6)
+        Q_all = np.stack(pq["qvec"].to_numpy()).astype(np.float64)
+        dropped = []
+        chunk = max(1, (1 << 22) // max(1, len(pa)))  # ≤ ~4M cells per matrix
+        for s in range(0, len(pq), chunk):
+            e = min(s + chunk, len(pq))
+            cos = np.round(
+                (Q_all[s:e] @ A.T) / np.outer(qn_all[s:e], an), 6
+            )
+            qids = qids_all[s:e]
+            qpri = qpri_all[s:e]
+            pri_less = (apri[None, :] < qpri[:, None]) | (
+                (apri[None, :] == qpri[:, None]) & (aids[None, :] < qids[:, None])
+            )
+            dom = ((cos > tau) & pri_less & (aids[None, :] != qids[:, None])).any(axis=1)
+            dropped.append(qids[dom])
+        return pd.DataFrame({"vec_id": np.concatenate(dropped)})
+
+    dropped = (
+        qry.groupBy("g_cell", "g_c_salt", "g_q_salt")
+        .cogroup(cand.groupBy("b_cell", "b_c_salt", "b_q_salt"))
+        .applyInPandas(per_block, "vec_id bigint")
+        .distinct()
+        .withColumn("dom", F.lit(True))
+    )
+    return assign.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.round("ccos", 6).alias("centroid_cos"),
+        F.col("dom").isNull().alias("keep"),
+    )
+
+
+def semantic_dedup_oracle_sql(
+    d: str,
+    tau: float = SEM_TAU,
+    table: str = "embeddings",
+    prelude: str = "",
+) -> str:
+    """Relational mirror: the shared coarse-index CTEs re-derive the
+    identical trained assignment (cell + centroid cosine), then the
+    dominance rule is a same-cell self-join."""
+    common = _ivf_common_ctes(d, n_probe=1, table=table, prelude=prelude)
+    dot_ab = _dot("a.emb", "b.emb", d)
+    return f"""
+{common},
+sem AS (
+  SELECT vec_id, emb, vnorm, centroid_id AS cell, ccos,
+         round(ccos, 6) AS pri
+  FROM ranked WHERE crank = 1
+),
+semdropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM sem a JOIN sem b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  WHERE round(({dot_ab}) / (a.vnorm * b.vnorm), 6) > {tau}
+    AND (b.pri < a.pri OR (b.pri = a.pri AND b.vec_id < a.vec_id))
+)
+SELECT s.vec_id, s.cell, s.pri AS centroid_cos,
+       (dr.vec_id IS NULL) AS keep
+FROM sem s LEFT JOIN semdropped dr ON s.vec_id = dr.vec_id
 """.strip()

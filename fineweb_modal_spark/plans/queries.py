@@ -1239,6 +1239,24 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pq_topk(emb, k=3)
 
 
+@register(
+    "semantic_dedup",
+    similarity.semantic_dedup_oracle_sql(
+        D,
+        table="semcorpus",
+        prelude=f"semcorpus AS ({similarity.corpus_with_semdup_vectors_sql(D)}),\n",
+    ),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) over the dup-augmented corpus:
+    trained-IVF clusters + within-cell dominance drop at cosine>0.95,
+    keeping the member farthest from its centroid. Oracle re-derives
+    the trained assignment AND the dominance pass relationally."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    corpus = spark.sql(similarity.corpus_with_semdup_vectors_sql(sd.SPARK))
+    return similarity.semantic_dedup(corpus)
+
+
 _HOST_DIM_SQL = (
     "SELECT DISTINCT CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 13 END AS host_id, "
     "'host-' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 13 END AS {T}) AS host_label "

@@ -621,3 +621,50 @@ def test_apply_keepers_drops_exactly_non_keepers(spark):
         r.doc_id for r in dd.apply_keepers(corpus, clusters).collect()
     )
     assert kept == [1, 3, 7]
+
+
+def test_semantic_dedup_drops_planted_pairs(spark):
+    """SemDeDup: each planted (source, first-component-halved copy)
+    pair has cosine ≈ 0.998 > tau — exactly one member survives, and
+    the survivor is the one farther from its centroid (lower ccos);
+    unrelated near-orthogonal vectors are untouched."""
+    load_table(spark, SF, "embeddings").createOrReplaceTempView("embeddings")
+    corpus = spark.sql(similarity.corpus_with_semdup_vectors_sql(sd.SPARK))
+    rows = {r.vec_id: r for r in similarity.semantic_dedup(corpus).collect()}
+    planted = [v for v in rows if v >= 100000]
+    assert planted
+    for cp in planted:
+        src = cp - 100000
+        kept = {v for v in (src, cp) if rows[v].keep}
+        # pair collapses to exactly one survivor...
+        assert len(kept) == 1, (src, cp)
+        # ...the farther-from-centroid member (paper's keep rule)
+        winner = min((src, cp), key=lambda v: (rows[v].centroid_cos, v))
+        assert kept == {winner}
+    # vectors with no planted partner all survive (corpus is
+    # near-orthogonal random -> no natural pair crosses tau=0.95)
+    untouched = [
+        v for v in rows
+        if v < 100000 and (v + 100000) not in rows and not rows[v].keep
+    ]
+    assert untouched == []
+
+
+def test_semantic_dedup_blocked_matches_unsalted(spark):
+    """Forcing tiny caps (every cell salted into many blocks) must
+    reproduce the unsalted result exactly — dominance is
+    OR-decomposable across candidate blocks."""
+    load_table(spark, SF, "embeddings").createOrReplaceTempView("embeddings")
+    corpus = spark.sql(similarity.corpus_with_semdup_vectors_sql(sd.SPARK))
+    cents = similarity.train_ivf_centroids(corpus)
+    plain = {
+        r.vec_id: (r.cell, r.centroid_cos, r.keep)
+        for r in similarity.semantic_dedup(corpus, centroids=cents).collect()
+    }
+    blocked = {
+        r.vec_id: (r.cell, r.centroid_cos, r.keep)
+        for r in similarity.semantic_dedup(
+            corpus, centroids=cents, cell_cap=7, query_cap=5
+        ).collect()
+    }
+    assert plain == blocked
