@@ -205,3 +205,33 @@ def keep_sql(
         f"SELECT {key_cols}, ({reason}) IS NULL AS keep, {reason} AS drop_reason "
         f"FROM ({sig})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based classifier stage (spec/quality_rules.py CLF_*)
+# ---------------------------------------------------------------------------
+
+
+def with_classifier(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append (clf_score, clf_keep): the deterministic logistic
+    quality classifier over the heuristic signals. Pure codegen —
+    the logit string is the SAME one the DuckDB oracle parses."""
+    sig = with_signals(df, text_col=text_col)
+    logit = F.expr(qr.clf_logit_sql())
+    return sig.withColumn("clf_logit", logit).withColumn(
+        "clf_score", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("clf_logit")))
+    ).withColumn("clf_keep", F.col("clf_logit") >= 0.0)
+
+
+def classifier_sql(d: str, table: str = "documents", text_col: str = "text",
+                   key_cols: str = "doc_id") -> str:
+    """(key, clf_score r6, clf_keep) over the raw signal subquery."""
+    sig = signals_sql(d, table=table, text_col=text_col, key_cols=key_cols,
+                      round_out=False)
+    logit = qr.clf_logit_sql()
+    return f"""
+SELECT {key_cols},
+       round(1.0 / (1.0 + exp(-{logit})), 6) AS clf_score,
+       ({logit}) >= 0.0 AS clf_keep
+FROM ({sig})
+""".strip()

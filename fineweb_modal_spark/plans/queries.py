@@ -80,6 +80,20 @@ def q_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("quality_classifier", quality.classifier_sql(D))
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (FineWeb-Edu/DCLM classifier
+    stand-in): deterministic logistic regression over the heuristic
+    signals; keep thresholds the rational logit at 0 so no
+    transcendental sits on the decision path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality.with_classifier(docs).select(
+        "doc_id",
+        F.round("clf_score", 6).alias("clf_score"),
+        "clf_keep",
+    )
+
+
 @register(
     "filter_short_docs",
     f"SELECT doc_id, n_words FROM ({quality.signals_sql(D, round_out=False)}) WHERE n_words > 50",

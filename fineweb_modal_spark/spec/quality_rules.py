@@ -247,3 +247,52 @@ SELECT {key_cols}, exp(-sv / (n - 1)) AS ppl FROM __ppl_sums
 UNION ALL
 SELECT {key_cols}, CAST({_A} AS DOUBLE) AS ppl FROM __ppl_base WHERE n < 2
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality classifier (FineWeb-Edu / DCLM-style stand-in).
+#
+# Real pipelines run a trained classifier (fastText / linear head on
+# embeddings) after the heuristic rules; offline this spec fixes a
+# deterministic logistic regression over the five heuristic signals
+# with interpretable hand-set weights. The SAME arithmetic string is
+# parsed by Spark and DuckDB (and mirrored in clf_py), so the logit is
+# IEEE-identical across engines: the keep decision thresholds the
+# rational logit at 0 (no transcendental on the decision path); only
+# the reported sigmoid score touches exp(), and it is rounded to 6 dp.
+# ---------------------------------------------------------------------------
+
+CLF_BIAS = -2.0
+CLF_W_STOPWORD = 3.0  # stopword-rich prose reads as natural language
+CLF_W_DISTINCT = 1.5  # vocabulary diversity
+CLF_W_DIGIT = -6.0    # digit-heavy pages are tables/serials/boilerplate
+CLF_W_NWSAT = 2.0     # saturating length bonus: n/(n+100)
+CLF_W_MWL = 0.5       # mild bonus for longer mean word length
+CLF_MWL_CENTER = 4.5
+CLF_NW_SCALE = 100.0
+
+
+def clf_logit_sql() -> str:
+    """Dialect-neutral logit over the raw signal column names — one
+    string, parsed by both engines, so evaluation order matches."""
+    return (
+        f"({CLF_BIAS} + {CLF_W_STOPWORD} * stopword_ratio "
+        f"+ {CLF_W_DISTINCT} * distinct_ratio "
+        f"+ {CLF_W_DIGIT} * digit_ratio "
+        f"+ {CLF_W_NWSAT} * (CAST(n_words AS DOUBLE) / (n_words + {CLF_NW_SCALE})) "
+        f"+ {CLF_W_MWL} * (mean_word_len - {CLF_MWL_CENTER}))"
+    )
+
+
+def clf_py(sig: dict) -> tuple[float, bool]:
+    """(sigmoid score, keep) — pure-Python mirror of clf_logit_sql,
+    same operand order so the floats match bit-for-bit."""
+    logit = (
+        CLF_BIAS
+        + CLF_W_STOPWORD * sig["stopword_ratio"]
+        + CLF_W_DISTINCT * sig["distinct_ratio"]
+        + CLF_W_DIGIT * sig["digit_ratio"]
+        + CLF_W_NWSAT * (float(sig["n_words"]) / (sig["n_words"] + CLF_NW_SCALE))
+        + CLF_W_MWL * (sig["mean_word_len"] - CLF_MWL_CENTER)
+    )
+    return 1.0 / (1.0 + math.exp(-logit)), logit >= 0.0

@@ -276,3 +276,22 @@ def test_gopher_three_renderings_match_python_spec(spark):
     tripped = {gr.gopher_keep_py(t or "")[1] for _, t in rows}
     for reason in gr.DROP_REASONS:
         assert reason in tripped, reason
+
+
+def test_quality_classifier_matches_python_spec(spark):
+    """Spark clf (codegen, shared logit string) == clf_py bit-for-bit
+    on the decision, ≤1e-12 on the sigmoid; both classes occur."""
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(200)
+    rows = (
+        quality.with_classifier(docs)
+        .select("doc_id", "text", "clf_score", "clf_keep")
+        .collect()
+    )
+    assert len(rows) == 200
+    keeps = set()
+    for r in rows:
+        score, keep = quality_rules.clf_py(quality_rules.signals_py(r.text))
+        assert r.clf_score == pytest.approx(score, abs=1e-12)
+        assert r.clf_keep == keep
+        keeps.add(keep)
+    assert keeps == {True, False}
