@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_repeated_spans",  # substring-level: window hashes + island merge
     "ivf_build",  # index build: sampled k-means training (offline step)
     "ivf_topk",  # index-backed query: BLAS assign + blocked scoring + window
+    "semantic_dedup",  # SemDeDup: IVF clusters + within-cell dominance drop
 ]
 
 
