@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import sqldialect as sd
+from ..spec import hashing as H
 from ..spec import quality_rules as qr
 
 _TOKS = "__toks"
@@ -234,4 +235,37 @@ SELECT {key_cols},
        round(1.0 / (1.0 + exp(-{logit})), 6) AS clf_score,
        ({logit}) >= 0.0 AS clf_keep
 FROM ({sig})
+""".strip()
+
+
+def with_importance_sample(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """DSIR-flavored importance resampling: accept each document with
+    probability equal to its classifier score, via a deterministic
+    md5 coin — u_ppm = md5('samp:'||id) % 1e6 vs the score in ppm.
+    The acceptance compare is INTEGER (score rounded to ppm on both
+    engines), so no float boundary can flip a sampling decision.
+    Zero shuffle; composes with any downstream mixture stage."""
+    clf = with_classifier(df, text_col=text_col)
+    u = F.expr(
+        H.md5_i64(f"'samp:' || CAST({id_col} AS STRING)", sd.SPARK)
+    ) % 1000000
+    s_ppm = F.round(F.col("clf_score") * 1000000).cast("bigint")
+    return (
+        clf.withColumn("score_ppm", s_ppm)
+        .withColumn("sampled", u < F.col("score_ppm"))
+    )
+
+
+def importance_sample_sql(d: str, table: str = "documents",
+                          text_col: str = "text",
+                          key_cols: str = "doc_id") -> str:
+    clf = classifier_sql(d, table=table, text_col=text_col, key_cols=key_cols)
+    cast_t = "STRING" if d == sd.SPARK else "VARCHAR"
+    u = H.md5_i64(f"'samp:' || CAST(doc_id AS {cast_t})", d)
+    return f"""
+SELECT doc_id,
+       CAST(round(clf_score * 1000000) AS BIGINT) AS score_ppm,
+       (({u}) % 1000000) < CAST(round(clf_score * 1000000) AS BIGINT) AS sampled
+FROM ({clf})
 """.strip()

@@ -1271,6 +1271,52 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(corpus)
 
 
+_SEM_PRELUDE = "semcorpus AS (" + similarity.corpus_with_semdup_vectors_sql(D) + "),\n"
+_SEM_ORACLE = similarity.semantic_dedup_oracle_sql(
+    D, table="semcorpus", prelude=_SEM_PRELUDE
+)
+
+_SEM_APPLY_ORACLE = f"""
+WITH semres AS (
+{_SEM_ORACLE}
+)
+SELECT d.doc_id, md5(d.text) AS text_md5
+FROM documents d JOIN semres k ON d.doc_id = k.vec_id
+WHERE k.keep
+""".strip()
+
+
+@register("semantic_dedup_apply", _SEM_APPLY_ORACLE)
+def q_semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup applied end-to-end: the corpus filtered to documents
+    whose vector survived the semantic pass (originals whose planted
+    copy sits closer to the centroid are GONE — real row deletion,
+    text md5 pins identity). Keeper relation is one BIGINT column —
+    broadcast semi-join, text scanned once."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = spark.sql(similarity.corpus_with_semdup_vectors_sql(sd.SPARK))
+    keepers = (
+        similarity.semantic_dedup(corpus)
+        .where(F.col("keep"))
+        .select("vec_id")
+    )
+    return docs.join(
+        F.broadcast(keepers), docs.doc_id == keepers.vec_id, "left_semi"
+    ).select("doc_id", F.md5("text").alias("text_md5"))
+
+
+@register("clf_importance_sample", quality.importance_sample_sql(D))
+def q_clf_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-flavored importance resampling: deterministic md5 coin vs
+    the classifier score, compared in INTEGER ppm so no float
+    boundary flips a sampling decision. Zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality.with_importance_sample(docs).select(
+        "doc_id", "score_ppm", "sampled"
+    )
+
+
 _HOST_DIM_SQL = (
     "SELECT DISTINCT CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 13 END AS host_id, "
     "'host-' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 13 END AS {T}) AS host_label "

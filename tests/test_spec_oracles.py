@@ -295,3 +295,23 @@ def test_quality_classifier_matches_python_spec(spark):
         assert r.clf_keep == keep
         keeps.add(keep)
     assert keeps == {True, False}
+
+
+def test_importance_sample_deterministic_and_score_biased(spark):
+    """md5-coin resampling: re-running yields the identical sample;
+    acceptance rate tracks the classifier score (mean score of
+    accepted docs strictly above rejected)."""
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    a = {r.doc_id: r.sampled for r in
+         quality.with_importance_sample(docs).select("doc_id", "sampled").collect()}
+    b = {r.doc_id: r.sampled for r in
+         quality.with_importance_sample(docs).select("doc_id", "sampled").collect()}
+    assert a == b
+    rows = quality.with_importance_sample(docs).select("clf_score", "sampled").collect()
+    acc = [r.clf_score for r in rows if r.sampled]
+    assert acc and len(acc) < len(rows)
+    # E[acceptance rate] == mean score; md5 coin at n=500 keeps the
+    # gap well inside 3σ (~0.066 at p≈0.4)
+    rate = len(acc) / len(rows)
+    mean_score = sum(r.clf_score for r in rows) / len(rows)
+    assert abs(rate - mean_score) < 0.07, (rate, mean_score)
