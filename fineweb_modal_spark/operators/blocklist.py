@@ -183,3 +183,81 @@ HAVING count(*) >= {PROPOSE_MIN_DOCS}
    AND {PROPOSE_RATE_DEN} * sum(CASE WHEN keep THEN 1 ELSE 0 END)
        < {PROPOSE_RATE_NUM} * count(*)
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes host reputation (shrinkage-smoothed keep rate)
+# ---------------------------------------------------------------------------
+
+# Beta(m*g, m*(1-g)) prior with g = global keep rate: posterior mean
+# (n_keep + m*g) / (n_docs + m). The standard fix for the proposal
+# rule's blind spot — a 3-doc host with 0 keeps should NOT outrank a
+# 300-doc host with 20% keeps. m is the prior strength in pseudo-docs.
+REP_PRIOR_STRENGTH = 20.0
+
+
+def host_reputation(feed: DataFrame) -> DataFrame:
+    """(host, n_docs, n_keep, raw_rate, reputation): per-host keep
+    rate shrunk toward the global rate by a Beta prior of strength
+    REP_PRIOR_STRENGTH pseudo-docs.
+
+    Scale shape: one codegen battery pass + one host groupBy (two-phase
+    partial agg), then a 1-row global agg broadcast back via cross
+    join — host-cardinality relation throughout, no corpus re-shuffle.
+    All arithmetic is rational (+, *, /) in a fixed evaluation order,
+    so the DuckDB oracle is IEEE-identical before the final round."""
+    from . import quality
+
+    k = quality.with_keep(quality.with_signals(with_host(feed)))
+    g = k.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+    )
+    tot = g.agg(
+        F.sum("n_docs").alias("t_docs"), F.sum("n_keep").alias("t_keep")
+    )
+    m = F.lit(REP_PRIOR_STRENGTH)
+    gl = F.col("t_keep").cast("double") / F.col("t_docs").cast("double")
+    return g.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "n_docs",
+        "n_keep",
+        F.round(F.col("n_keep").cast("double") / F.col("n_docs").cast("double"), 6).alias("raw_rate"),
+        F.round(
+            (F.col("n_keep").cast("double") + m * gl)
+            / (F.col("n_docs").cast("double") + m),
+            6,
+        ).alias("reputation"),
+    )
+
+
+def host_reputation_oracle_sql(d: str, pages_select: str) -> str:
+    from . import quality
+
+    keep = quality.keep_sql(
+        d, table="hosted", text_col="text", key_cols="doc_id, host"
+    )
+    m = REP_PRIOR_STRENGTH
+    return f"""
+WITH pages AS ({pages_select}),
+feed AS ({spam_feed_sql(d)}),
+hosted AS (
+  SELECT doc_id, text, {host_sql("url", d)} AS host FROM feed
+),
+k AS ({keep}),
+g AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+  FROM k GROUP BY host
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+         CAST(sum(n_keep) AS BIGINT) AS t_keep
+  FROM g
+)
+SELECT host, n_docs, n_keep,
+       round(CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS raw_rate,
+       round((CAST(n_keep AS DOUBLE) + {m} * (CAST(t_keep AS DOUBLE) / CAST(t_docs AS DOUBLE)))
+             / (CAST(n_docs AS DOUBLE) + {m}), 6) AS reputation
+FROM g CROSS JOIN tot
+""".strip()

@@ -176,3 +176,116 @@ new_snap AS ({new_snapshot_sql(d)}),
 keyed AS (SELECT doc_id, text, {norm} AS norm_url FROM new_snap)
 SELECT norm_url, doc_id, keep FROM ({keep})
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution drift between two snapshots (corpus monitoring)
+# ---------------------------------------------------------------------------
+
+from ..spec import hashing as H  # noqa: E402
+
+DRIFT_TOP_N = 200
+
+
+def _token_counts(df: DataFrame, tag: str) -> DataFrame:
+    t = df.select(
+        F.explode(F.expr(H.tokens_lower("text", S))).alias("token")
+    ).where(F.col("token") != "")
+    return t.groupBy("token").agg(F.count("*").alias(f"{tag}_cnt"))
+
+
+def token_drift(old: DataFrame, new: DataFrame, top_n: int = DRIFT_TOP_N) -> DataFrame:
+    """Top-N drifting tokens between two snapshots' unigram
+    distributions: chi-squared contribution + total-variation term
+    per token under add-one (Laplace) smoothing over the union vocab.
+
+    The monitoring primitive for a rolling crawl: a spam wave, a
+    boilerplate change, or an extraction regression shows up as mass
+    moving between tokens long before aggregate quality rates move.
+
+    Deliberately NOT KL-divergence: log/exp are transcendental and
+    last-ulp-divergent across engines; chi2 and TV are rational in a
+    fixed evaluation order, so both engines produce bit-identical
+    doubles, reported as exact integer-scaled units (same discipline
+    as the quality classifier's rational logit).
+
+    Scale shape: per-snapshot unigram histogram = explode + two-phase
+    partial count (the only corpus-sized stage, map-side combined);
+    everything after is vocab-sized — one full-outer join, a 1-row
+    totals agg broadcast back, and a integer-scaled-key top-N via global
+    TakeOrderedAndProject. No corpus re-shuffle, no driver loops."""
+    j = (
+        _token_counts(old, "old")
+        .join(_token_counts(new, "new"), "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("old_cnt", F.lit(0)).alias("old_cnt"),
+            F.coalesce("new_cnt", F.lit(0)).alias("new_cnt"),
+        )
+    )
+    tot = j.agg(
+        F.sum("old_cnt").alias("old_tot"),
+        F.sum("new_cnt").alias("new_tot"),
+        F.count("*").alias("vocab"),
+    )
+    p_old = (F.col("old_cnt").cast("double") + F.lit(1.0)) / (
+        F.col("old_tot").cast("double") + F.col("vocab").cast("double")
+    )
+    p_new = (F.col("new_cnt").cast("double") + F.lit(1.0)) / (
+        F.col("new_tot").cast("double") + F.col("vocab").cast("double")
+    )
+    # integer-scaled terms (units of 1e-12): floor over bit-identical
+    # doubles is engine-exact, unlike decimal round whose half-up step
+    # differs between BigDecimal (Spark) and double math (DuckDB)
+    s = j.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "old_cnt",
+        "new_cnt",
+        F.floor((p_new - p_old) * (p_new - p_old) / p_old * F.lit(1e12)).alias("chi2_e12"),
+        F.floor(F.abs(p_new - p_old) / F.lit(2.0) * F.lit(1e12)).alias("tv_e12"),
+    )
+    return s.orderBy(F.col("chi2_e12").desc(), F.col("token").asc()).limit(top_n)
+
+
+def token_drift_oracle_sql(
+    d: str, pages_select: str, top_n: int = DRIFT_TOP_N
+) -> str:
+    toks = H.tokens_lower("text", d)
+    return f"""
+WITH pages AS ({pages_select}),
+new_snap AS ({new_snapshot_sql(d)}),
+o AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS old_cnt
+  FROM (SELECT unnest({toks}) AS token FROM pages) t
+  WHERE token <> '' GROUP BY token
+),
+n AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS new_cnt
+  FROM (SELECT unnest({toks}) AS token FROM new_snap) t
+  WHERE token <> '' GROUP BY token
+),
+j AS (
+  SELECT coalesce(o.token, n.token) AS token,
+         coalesce(old_cnt, 0) AS old_cnt,
+         coalesce(new_cnt, 0) AS new_cnt
+  FROM o FULL OUTER JOIN n ON o.token = n.token
+),
+tot AS (
+  SELECT CAST(sum(old_cnt) AS BIGINT) AS old_tot,
+         CAST(sum(new_cnt) AS BIGINT) AS new_tot,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM j
+),
+s AS (
+  SELECT token, old_cnt, new_cnt,
+    (CAST(new_cnt AS DOUBLE) + 1.0) / (CAST(new_tot AS DOUBLE) + CAST(vocab AS DOUBLE)) AS p_new,
+    (CAST(old_cnt AS DOUBLE) + 1.0) / (CAST(old_tot AS DOUBLE) + CAST(vocab AS DOUBLE)) AS p_old
+  FROM j CROSS JOIN tot
+)
+SELECT token, old_cnt, new_cnt,
+       CAST(floor((p_new - p_old) * (p_new - p_old) / p_old * 1e12) AS BIGINT) AS chi2_e12,
+       CAST(floor(abs(p_new - p_old) / 2.0 * 1e12) AS BIGINT) AS tv_e12
+FROM s
+ORDER BY chi2_e12 DESC, token ASC
+LIMIT {top_n}
+""".strip()

@@ -3028,3 +3028,46 @@ def q_auto_blocklist_proposal(spark: SparkSession, sf_dir: str) -> DataFrame:
     p.createOrReplaceTempView("pages_spam")
     feed = spark.sql(blocklist_op.spam_feed_sql(sd.SPARK, "pages_spam"))
     return blocklist_op.propose_blocklist(feed)
+
+
+@register(
+    "host_reputation",
+    blocklist_op.host_reputation_oracle_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes host reputation: per-host keep rate shrunk
+    toward the global rate by a Beta prior of 20 pseudo-docs — the
+    fix for the proposal rule's small-sample blind spot (a 3-doc
+    0-keep host must not outrank a 300-doc 20%-keep host). One
+    battery pass + one host groupBy + a 1-row broadcast; rational
+    arithmetic only, so the oracle is IEEE-identical pre-round."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    p.createOrReplaceTempView("pages_rep")
+    feed = spark.sql(blocklist_op.spam_feed_sql(sd.SPARK, "pages_rep"))
+    return blocklist_op.host_reputation(feed)
+
+
+@register(
+    "token_drift",
+    crawldiff_op.token_drift_oracle_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 drifting unigrams between pages and the planted
+    re-crawl: chi-squared + total-variation contribution per token
+    under Laplace smoothing, as exact integer-scaled units (floor of
+    bit-identical rational doubles — no transcendentals, no decimal
+    round). The corpus-monitoring primitive: spam waves and extractor
+    regressions move token mass before aggregate keep rates move.
+    Histogram = explode + two-phase count; everything after is
+    vocab-sized."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    p.createOrReplaceTempView("pages_drift")
+    new_snap = spark.sql(
+        crawldiff_op.new_snapshot_sql(sd.SPARK, "pages_drift")
+    )
+    old = p.select("doc_id", "url", "text")
+    return crawldiff_op.token_drift(old, new_snap)

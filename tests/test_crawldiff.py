@@ -67,3 +67,30 @@ def test_merge_rescored_equals_full_recompute(spark):
     assert merged == full
     # removed URL is retired
     assert all(u != "a.example/gone" for u, _, _ in merged)
+
+
+def test_token_drift_detects_planted_shift(spark):
+    # old corpus: common words only; new corpus: half the docs are a
+    # planted spam wave -> the spam token must rank at the very top of
+    # the chi2 ordering, and terms must be nonnegative with TV <= 0.5.
+    old = spark.createDataFrame(
+        [(i, f"https://h.example/{i}", "alpha beta gamma delta") for i in range(40)],
+        "doc_id long, url string, text string",
+    )
+    new_rows = [
+        (i, f"https://h.example/{i}",
+         "zzzspam zzzspam zzzspam" if i % 2 == 0 else "alpha beta gamma delta")
+        for i in range(40)
+    ]
+    new = spark.createDataFrame(
+        new_rows, "doc_id long, url string, text string"
+    )
+    out = crawldiff.token_drift(old, new, top_n=10).collect()
+    assert out[0].token == "zzzspam"
+    assert out[0].old_cnt == 0 and out[0].new_cnt == 60
+    for r in out:
+        assert r.chi2_e12 >= 0
+        assert 0 <= r.tv_e12 <= 500_000_000_000  # TV term <= 0.5
+    # chi2 ordering is non-increasing with token tie-break
+    keys = [(-r.chi2_e12, r.token) for r in out]
+    assert keys == sorted(keys)

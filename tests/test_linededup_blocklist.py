@@ -125,3 +125,31 @@ def test_propose_blocklist_integer_rule(spark):
     assert set(out) == {"bad.example"}
     assert out["bad.example"].n_docs == 10
     assert out["bad.example"].n_keep == 2
+
+
+def test_host_reputation_shrinkage(spark):
+    # tiny host with 0 keeps gets pulled UP toward the global rate;
+    # big host's reputation stays close to its raw rate; everyone's
+    # reputation lies strictly between raw rate and the global rate
+    # (Beta posterior mean property), modulo exact equality.
+    good = "the quick brown fox jumps over the lazy dog and runs far away home"
+    bad = "00 11 22 33 44 55 66 77 88 99"
+    rows, rid = [], 0
+    for host, n_keep, n in (("big", 60, 100), ("tiny", 0, 3)):
+        for i in range(n):
+            rid += 1
+            rows.append(
+                (rid, f"https://{host}.example/p/{i}",
+                 good if i < n_keep else bad)
+            )
+    feed = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {r.host: r for r in blocklist.host_reputation(feed).collect()}
+    g = (out["big.example"].n_keep + out["tiny.example"].n_keep) / 103.0
+    tiny = out["tiny.example"]
+    big = out["big.example"]
+    assert tiny.raw_rate == 0.0
+    # shrunk strictly toward the prior mean
+    assert tiny.raw_rate < tiny.reputation < g
+    assert abs(big.reputation - big.raw_rate) < abs(
+        tiny.reputation - tiny.raw_rate
+    )
