@@ -1,0 +1,191 @@
+"""Host-level link graph + PageRank over extracted outlinks.
+
+The web-curation primitive the flat quality battery can't see: a
+host's importance in the crawl's own link structure. FineWeb-class
+pipelines use link-graph signals (harmonic/PageRank centrality) both
+for crawl frontier prioritization and as a quality prior; the
+reference has no graph stage, so this is a north-rule extension built
+the Spark-first way.
+
+Pipeline: href extraction from raw html (regexp_extract_all — the
+same mechanism a real extractor uses), host-granular edge aggregation
+with link-count weights, transition probabilities p = w / outdeg, and
+T fixed power iterations of the damped update
+
+    rank'(v) = (1-d)/N + d * sum_{(u,v) in E} rank(u) * p(u, v)
+
+restricted to the source-host node set (every node has outdegree >= 1
+by construction, so no dangling-mass term is needed; edges to
+non-source hosts are dropped BEFORE outdegree so each row of P still
+sums to 1).
+
+Scale shape: extraction + edge agg is one corpus pass (explode + two
+-phase count); everything after is edge/node-sized. Each iteration is
+one shuffle join (ranks x edges on src) + one groupBy(dst) — the
+canonical distributed PageRank step; lineage is flattened per
+iteration with localCheckpoint like dedup.resolve_clusters. No
+driver-side state beyond the node-count scalar.
+
+Oracle: the SAME fixed number of iterations unrolled as chained CTEs
+(r0..rT) — DuckDB executes the identical dataflow, and ranks are
+compared after round-6 (float sums differ only in last-ulp
+accumulation order, far below 1e-6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import sqldialect as sd
+from . import blocklist
+
+S, D = sd.SPARK, sd.DUCKDB
+
+DAMPING = 0.85
+PR_ITERS = 10
+
+# href host extraction — identical regex both engines (no lookaround)
+_HREF_RE = 'href="https://([^/"]+)'
+
+
+def linked_pages_sql(d: str, pages: str = "pages") -> str:
+    """pages with planted outlinks: every doc links to two hosts that
+    are pure functions of doc_id, and even docs also link to h0 —
+    making h0 the planted high-centrality host on top of its volume
+    skew. All targets are h0..h12, i.e. guaranteed source hosts."""
+    cast_t = "STRING" if d == S else "VARCHAR"
+    return (
+        f"SELECT doc_id, url, "
+        f"'<html><body><p>x</p>' "
+        f"|| '<a href=\"https://h' || CAST((doc_id + 1) % 13 AS {cast_t}) || '.example.com/l/1\">a</a>' "
+        f"|| '<a href=\"https://h' || CAST((doc_id * 5 + 2) % 13 AS {cast_t}) || '.example.com/l/2\">b</a>' "
+        f"|| CASE WHEN doc_id % 2 = 0 THEN '<a href=\"https://h0.example.com/t\">t</a>' ELSE '' END "
+        f"|| '</body></html>' AS html "
+        f"FROM {pages}"
+    )
+
+
+def host_edges(linked: DataFrame) -> DataFrame:
+    """(src, dst, w): host-granular weighted edge list from hrefs."""
+    hosted = blocklist.with_host(linked)
+    return (
+        hosted.select(
+            F.col("host").alias("src"),
+            F.explode(
+                F.expr(f"regexp_extract_all(html, '{_HREF_RE}', 1)")
+            ).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def host_pagerank(
+    linked: DataFrame, iters: int = PR_ITERS, damping: float = DAMPING
+) -> DataFrame:
+    """(host, rank r6) after `iters` damped power iterations."""
+    spark = linked.sparkSession
+    edges = host_edges(linked)
+    nodes = edges.select(F.col("src").alias("host")).distinct()
+    # drop edges whose target is not a source host BEFORE outdegree,
+    # so transition rows still sum to 1 per src (no dangling mass)
+    e = edges.join(
+        nodes.select(F.col("host").alias("dst")), "dst", "left_semi"
+    )
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("deg"))
+    trans = (
+        e.join(outdeg, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("w").cast("double") / F.col("deg").cast("double")).alias("p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    r = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = (
+            trans.join(r, trans.src == r.host)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("s"))
+        )
+        r = (
+            nodes.join(contrib, nodes.host == contrib.dst, "left")
+            .select(
+                "host",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return r.select("host", F.round("rank", 6).alias("rank"))
+
+
+def pagerank_oracle_sql(
+    d: str,
+    pages_select: str,
+    iters: int = PR_ITERS,
+    damping: float = DAMPING,
+) -> str:
+    """The identical dataflow with the iteration loop UNROLLED as
+    chained CTEs r0..rN — same extraction, same edge weights, same
+    damped update, compared after round-6."""
+    unnest = (
+        f"explode(regexp_extract_all(html, '{_HREF_RE}', 1))"
+        if d == S
+        else f"unnest(regexp_extract_all(html, '{_HREF_RE}', 1))"
+    )
+    # float literals MUST be cast: DuckDB parses bare 1.0/0.85 as
+    # DECIMAL and its exact-decimal arithmetic diverges from the
+    # engine's IEEE doubles. base_num is the Python double (1-d),
+    # repr'd at full precision, so both engines start from identical
+    # bits.
+    base_num = repr(1.0 - damping)
+    dmp = repr(damping)
+    its = []
+    for t in range(iters):
+        its.append(
+            f"""r{t + 1} AS (
+  SELECT n.host,
+         CAST({base_num} AS DOUBLE) / CAST(nn.n AS DOUBLE)
+           + CAST({dmp} AS DOUBLE) * coalesce(c.s, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes n CROSS JOIN ncount nn
+  LEFT JOIN (
+    SELECT t.dst AS host, sum(r.rank * t.p) AS s
+    FROM trans t JOIN r{t} r ON t.src = r.host
+    GROUP BY t.dst
+  ) c ON n.host = c.host
+)"""
+        )
+    chain = ",\n".join(its)
+    return f"""
+WITH pages AS ({pages_select}),
+linked AS ({linked_pages_sql(d)}),
+hrefs AS (
+  SELECT {blocklist.host_sql("url", d)} AS src, {unnest} AS dst
+  FROM linked
+),
+edges AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM hrefs GROUP BY src, dst
+),
+nodes AS (SELECT DISTINCT src AS host FROM edges),
+e AS (
+  SELECT edges.* FROM edges
+  WHERE EXISTS (SELECT 1 FROM nodes WHERE nodes.host = edges.dst)
+),
+outdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM e GROUP BY src),
+trans AS (
+  SELECT e.src, e.dst, CAST(w AS DOUBLE) / CAST(deg AS DOUBLE) AS p
+  FROM e JOIN outdeg ON e.src = outdeg.src
+),
+ncount AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS (SELECT host, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS rank
+       FROM nodes CROSS JOIN ncount nn),
+{chain}
+SELECT host, round(rank, 6) AS rank FROM r{iters}
+""".strip()

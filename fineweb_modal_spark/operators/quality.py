@@ -269,3 +269,100 @@ SELECT doc_id,
        (({u}) % 1000000) < CAST(round(clf_score * 1000000) AS BIGINT) AS sampled
 FROM ({clf})
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Classifier threshold sweep (operating-curve table)
+# ---------------------------------------------------------------------------
+
+SWEEP_BUCKET_PPM = 50000  # 5%-of-score ventile buckets
+
+
+def threshold_sweep(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per score-ventile operating point for the quality classifier,
+    using the heuristic battery's keep bit as the proxy label: picking
+    a classifier cutoff IS this table — precision/recall of
+    'keep everything scoring >= bucket' for each ventile.
+
+    Buckets are integer ppm ventiles of the ALREADY-integer score_ppm
+    (no new float boundary); cumulative sums run over the 21-row
+    bucket relation (bounded at any corpus size), so the descending
+    window is scale-free. One battery pass, one groupBy, one tiny
+    window — all counts integer-exact; the two ratios divide integers
+    once at the end."""
+    clf = with_classifier(df, text_col=text_col)
+    lab = with_keep(with_signals(df, text_col=text_col)).select(
+        "doc_id", "keep"
+    )
+    # floor, NOT cast: Spark's double->bigint cast truncates while
+    # DuckDB's rounds — floor agrees on both for the nonneg ppm ratio
+    j = clf.select(
+        "doc_id",
+        F.floor(
+            F.round(F.col("clf_score") * 1000000).cast("bigint")
+            / F.lit(SWEEP_BUCKET_PPM)
+        ).alias("bucket"),
+    ).join(lab, "doc_id")
+    b = j.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_pos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = b.agg(F.sum("n_pos").alias("t_pos"))
+    return (
+        b.withColumn("cum_docs", F.sum("n_docs").over(w))
+        .withColumn("cum_pos", F.sum("n_pos").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_docs",
+            "n_pos",
+            "cum_docs",
+            "cum_pos",
+            F.round(
+                F.col("cum_pos").cast("double") / F.col("cum_docs").cast("double"), 6
+            ).alias("precision_at"),
+            F.round(
+                F.col("cum_pos").cast("double") / F.col("t_pos").cast("double"), 6
+            ).alias("recall_at"),
+        )
+    )
+
+
+def threshold_sweep_sql(d: str, table: str = "documents",
+                        text_col: str = "text") -> str:
+    clf = classifier_sql(d, table=table, text_col=text_col)
+    keep = keep_sql(d, table=table, text_col=text_col)
+    return f"""
+WITH clf AS ({clf}),
+lab AS ({keep}),
+j AS (
+  SELECT CAST(floor(CAST(round(clf.clf_score * 1000000) AS BIGINT)
+              / {SWEEP_BUCKET_PPM}) AS BIGINT) AS bucket,
+         lab.keep
+  FROM clf JOIN lab ON clf.doc_id = lab.doc_id
+),
+b AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM j GROUP BY bucket
+),
+tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS t_pos FROM b)
+SELECT bucket, n_docs, n_pos,
+       CAST(sum(n_docs) OVER (ORDER BY bucket DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+       CAST(sum(n_pos) OVER (ORDER BY bucket DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+       round(CAST(sum(n_pos) OVER (ORDER BY bucket DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(sum(n_docs) OVER (ORDER BY bucket DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS precision_at,
+       round(CAST(sum(n_pos) OVER (ORDER BY bucket DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(t_pos AS DOUBLE), 6) AS recall_at
+FROM b CROSS JOIN tot
+""".strip()

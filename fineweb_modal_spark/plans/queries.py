@@ -3071,3 +3071,43 @@ def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old = p.select("doc_id", "url", "text")
     return crawldiff_op.token_drift(old, new_snap)
+
+
+from ..operators import linkgraph as linkgraph_op  # noqa: E402
+
+
+@register(
+    "host_pagerank",
+    linkgraph_op.pagerank_oracle_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank over outlinks extracted from raw html
+    (planted deterministic anchor tags): href regexp extraction →
+    weighted host edge list → 10 damped power iterations, each ONE
+    shuffle join + groupBy with localCheckpoint-flattened lineage —
+    the canonical distributed PageRank step. Oracle runs the SAME 10
+    iterations unrolled as chained CTEs. Extraction is the only
+    corpus-sized stage; iterations touch the edge/node relations."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    p.createOrReplaceTempView("pages_lg")
+    linked = spark.sql(linkgraph_op.linked_pages_sql(sd.SPARK, "pages_lg"))
+    return linkgraph_op.host_pagerank(linked)
+
+
+@register(
+    "clf_threshold_sweep",
+    quality.threshold_sweep_sql(
+        D, table=f"({pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)})"
+    ),
+)
+def q_clf_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier operating curve: per score-ventile doc counts and
+    cumulative precision/recall of 'keep everything >= bucket', with
+    the heuristic battery as proxy label — the table you read to pick
+    the production cutoff. Buckets reuse the integer score_ppm
+    convention; the window runs over the bounded 21-row bucket
+    relation, so it is scale-free."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    return quality.threshold_sweep(p)

@@ -1,0 +1,60 @@
+"""Link-graph PageRank + classifier threshold-sweep invariants."""
+
+from fineweb_modal_spark.functions import sqldialect as sd
+from fineweb_modal_spark.operators import linkgraph, quality
+
+
+def _linked(spark):
+    pages = spark.createDataFrame(
+        [
+            (i, f"https://h{i % 13}.example.com/p/{i}")
+            for i in range(200)
+        ],
+        "doc_id long, url string",
+    )
+    pages.createOrReplaceTempView("pages_lg_test")
+    return spark.sql(linkgraph.linked_pages_sql(sd.SPARK, "pages_lg_test"))
+
+
+def test_pagerank_mass_conserved_and_planted_hub_wins(spark):
+    out = {r.host: r.rank for r in linkgraph.host_pagerank(_linked(spark)).collect()}
+    assert len(out) == 13
+    # damped PageRank over a dangling-free graph conserves rank mass
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    # h0 receives an extra link from every even doc -> top centrality
+    assert max(out, key=out.get) == "h0.example.com"
+    assert all(r > 0 for r in out.values())
+
+
+def test_pagerank_deterministic(spark):
+    linked = _linked(spark)
+    a = sorted(linkgraph.host_pagerank(linked).collect())
+    b = sorted(linkgraph.host_pagerank(linked).collect())
+    assert a == b
+
+
+def test_threshold_sweep_operating_curve(spark):
+    good = (
+        "the quick brown fox jumps over the lazy dog and it runs far "
+        "away to the old house by the sea where all of them could rest"
+    )
+    bad = "00 11 22 33 44 55 66 77 88 99"
+    rows = [
+        (i, good if i % 3 else bad) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        quality.threshold_sweep(df).collect(), key=lambda r: -r.bucket
+    )
+    # cumulative counts increase as the threshold drops
+    for a, b in zip(out, out[1:]):
+        assert b.cum_docs > a.cum_docs >= a.cum_pos
+    # the lowest bucket covers everything: recall 1.0, precision =
+    # global positive rate
+    last = out[-1]
+    assert last.cum_docs == 60
+    assert last.recall_at == 1.0
+    assert abs(last.precision_at - last.cum_pos / 60) < 5e-7  # round-6
+    # buckets separate the planted cohorts: the top bucket is purer
+    # than the global rate
+    assert out[0].precision_at >= last.precision_at
