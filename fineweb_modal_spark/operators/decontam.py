@@ -202,3 +202,92 @@ SELECT p.doc_id, CAST(p.n_sh AS BIGINT) AS n_sh,
        coalesce(h.n_boiler, 0) * {BOILER_KEEP_DEN} <= p.n_sh * {BOILER_KEEP_NUM} AS keep
 FROM per_doc p LEFT JOIN hit h ON h.doc_id = p.doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# SEMANTIC decontamination: max benchmark cosine per corpus embedding
+# ---------------------------------------------------------------------------
+
+SEM_DECON_TAU = 0.98
+SEM_DECON_BENCH_CAP = 1024  # literal-fold path bound; see raise below
+BENCH_MOD = 41  # planted benchmark: every 41st base vector
+
+
+def semantic_decontaminate(
+    corpus: DataFrame, bench: DataFrame, tau: float = SEM_DECON_TAU
+) -> DataFrame:
+    """(vec_id, max_bench_cos r6, contaminated) — n-gram overlap
+    misses paraphrases; the embedding-level rule catches them: a
+    corpus vector whose max cosine against ANY benchmark vector
+    exceeds tau is flagged.
+
+    Scale shape: the benchmark set is tiny by definition (eval suites
+    are ~10^4-10^6 rows vs a ~10^12-row corpus), so it collects to the
+    driver and bakes into the plan as literal arrays — ZERO shuffle,
+    zero joins, one codegen pass over the corpus computing m staged
+    dot-product columns + greatest(). Both the per-bench dot and the
+    bench norms are Catalyst-constant-folded from the SAME _dot/_norm
+    fragments the DuckDB oracle evaluates, so every cosine is
+    bit-identical before the final round. Above SEM_DECON_BENCH_CAP
+    the right plan is a broadcast join + groupBy-max instead; this
+    operator refuses rather than silently building a megabyte plan.
+    """
+    from .similarity import _dot, _norm
+
+    rows = bench.select("vec_id", "embedding").collect()
+    if not rows:
+        raise ValueError("semantic_decontaminate: empty benchmark set")
+    if len(rows) > SEM_DECON_BENCH_CAP:
+        raise ValueError(
+            f"benchmark set {len(rows)} exceeds literal-fold cap "
+            f"{SEM_DECON_BENCH_CAP}; use a broadcast join + groupBy-max"
+        )
+    bench_ids = [int(r.vec_id) for r in rows]
+    c = corpus.where(~F.col("vec_id").isin(bench_ids)).withColumn(
+        "__vnorm", F.expr(_norm("embedding", S))
+    )
+    cos_cols = []
+    for r in rows:
+        lit = "array(" + ", ".join(
+            f"CAST({v!r} AS DOUBLE)" for v in r.embedding
+        ) + ")"
+        cos_cols.append(
+            F.expr(_dot("embedding", lit, S))
+            / (F.col("__vnorm") * F.expr(_norm(lit, S)))
+        )
+    mx = cos_cols[0] if len(cos_cols) == 1 else F.greatest(*cos_cols)
+    return c.select(
+        "vec_id",
+        F.round(mx, 6).alias("max_bench_cos"),
+        (mx > F.lit(tau)).alias("contaminated"),
+    )
+
+
+def semantic_decontaminate_oracle_sql(
+    d: str, tau: float = SEM_DECON_TAU, table: str = "embeddings"
+) -> str:
+    """Relational re-derivation: cross join corpus x bench, same
+    _dot/_norm fragments, max per vec_id — the O(n*m) shape the
+    engine's literal fold compiles away."""
+    from .similarity import _dot, _norm, corpus_with_dup_vectors_sql
+
+    dot = _dot("c.embedding", "b.embedding", d)
+    bnorm = _norm("b.embedding", d)
+    cnorm = _norm("embedding", d)
+    return f"""
+WITH corpus AS ({corpus_with_dup_vectors_sql(d, table)}),
+bench AS (
+  SELECT vec_id, embedding FROM {table} WHERE vec_id % {BENCH_MOD} = 0
+),
+c AS (
+  SELECT vec_id, embedding, ({cnorm}) AS vnorm FROM corpus
+  WHERE vec_id NOT IN (SELECT vec_id FROM bench)
+),
+pairs AS (
+  SELECT c.vec_id, ({dot}) / (c.vnorm * ({bnorm})) AS cos
+  FROM c CROSS JOIN bench b
+)
+SELECT vec_id, round(max(cos), 6) AS max_bench_cos,
+       max(cos) > {tau} AS contaminated
+FROM pairs GROUP BY vec_id
+""".strip()

@@ -3111,3 +3111,26 @@ def q_clf_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, so it is scale-free."""
     p = pages_mod.load_pages(spark, sf_dir, with_html=False)
     return quality.threshold_sweep(p)
+
+
+@register(
+    "semantic_decontaminate",
+    decontam_op.semantic_decontaminate_oracle_sql(D),
+)
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination (catches what n-gram overlap
+    misses — paraphrased benchmark leakage): max cosine of every
+    corpus vector against the planted benchmark set (vec_id%41=0),
+    flagged above tau=0.98. The dup-vector corpus plants exact
+    near-copies of two benchmark vectors, so there are true positives.
+    The tiny bench set bakes into the plan as constant-folded literal
+    arrays: ZERO shuffle, zero joins, one codegen pass — the oracle
+    re-derives it as the O(n*m) cross join the fold compiles away."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    corpus = spark.sql(similarity.corpus_with_dup_vectors_sql(sd.SPARK))
+    bench = spark.table("embeddings").where(
+        F.col("vec_id") % decontam_op.BENCH_MOD == 0
+    )
+    return decontam_op.semantic_decontaminate(corpus, bench)

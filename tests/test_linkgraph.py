@@ -58,3 +58,25 @@ def test_threshold_sweep_operating_curve(spark):
     # buckets separate the planted cohorts: the top bucket is purer
     # than the global rate
     assert out[0].precision_at >= last.precision_at
+
+
+def test_semantic_decontaminate_flags_planted_copies(spark):
+    from fineweb_modal_spark.operators import decontam
+
+    # bench = 2 vectors; corpus = bench-near copies (scaled -> cosine
+    # 1.0) + orthogonal vectors -> exactly the copies are flagged
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (41, [0.0, 1.0, 0.0, 0.0]),
+        (100, [1.01, 0.0, 0.0, 0.0]),   # copy of bench 0
+        (101, [0.0, 0.0, 1.0, 0.0]),    # orthogonal
+        (102, [0.0, 2.0, 0.0, 0.0]),    # copy of bench 41
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = emb.where("vec_id % 41 = 0")
+    out = {
+        r.vec_id: r.contaminated
+        for r in decontam.semantic_decontaminate(emb, bench).collect()
+    }
+    assert set(out) == {100, 101, 102}
+    assert out[100] and out[102] and not out[101]
