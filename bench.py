@@ -48,6 +48,8 @@ HEADLINE = [
     "ivf_build",  # index build: sampled k-means training (offline step)
     "ivf_topk",  # index-backed query: BLAS assign + blocked scoring + window
     "semantic_dedup",  # SemDeDup: IVF clusters + within-cell dominance drop
+    "host_pagerank",  # iterative graph: 10 power iterations over host edges
+    "token_drift",  # snapshot drift monitor: two-phase unigram histograms
 ]
 
 

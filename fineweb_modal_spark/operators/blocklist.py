@@ -212,7 +212,9 @@ def host_reputation(feed: DataFrame) -> DataFrame:
     g = k.groupBy("host").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("keep").cast("long")).alias("n_keep"),
-    )
+    # consumed twice (totals + final select): checkpoint the
+    # host-sized relation so the corpus battery pass runs once
+    ).localCheckpoint(eager=False)
     tot = g.agg(
         F.sum("n_docs").alias("t_docs"), F.sum("n_keep").alias("t_keep")
     )

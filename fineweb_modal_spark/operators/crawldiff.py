@@ -222,6 +222,11 @@ def token_drift(old: DataFrame, new: DataFrame, top_n: int = DRIFT_TOP_N) -> Dat
             F.coalesce("old_cnt", F.lit(0)).alias("old_cnt"),
             F.coalesce("new_cnt", F.lit(0)).alias("new_cnt"),
         )
+        # consumed twice (totals agg + scoring): checkpoint, or the
+        # corpus-sized histogram subtree executes twice (PLANS.md
+        # showed the full scan+explode+join duplicated under the
+        # totals BroadcastExchange)
+        .localCheckpoint(eager=False)
     )
     tot = j.agg(
         F.sum("old_cnt").alias("old_tot"),

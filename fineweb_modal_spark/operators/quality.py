@@ -290,23 +290,25 @@ def threshold_sweep(df: DataFrame, text_col: str = "text") -> DataFrame:
     window is scale-free. One battery pass, one groupBy, one tiny
     window — all counts integer-exact; the two ratios divide integers
     once at the end."""
-    clf = with_classifier(df, text_col=text_col)
-    lab = with_keep(with_signals(df, text_col=text_col)).select(
-        "doc_id", "keep"
-    )
+    # with_classifier keeps the signal columns, so the heuristic label
+    # comes off the SAME relation — ONE battery pass, no self-join
+    # (the oracle joins two subqueries; relationally identical)
+    clf = with_keep(with_classifier(df, text_col=text_col))
     # floor, NOT cast: Spark's double->bigint cast truncates while
     # DuckDB's rounds — floor agrees on both for the nonneg ppm ratio
     j = clf.select(
-        "doc_id",
         F.floor(
             F.round(F.col("clf_score") * 1000000).cast("bigint")
             / F.lit(SWEEP_BUCKET_PPM)
         ).alias("bucket"),
-    ).join(lab, "doc_id")
+        "keep",
+    )
     b = j.groupBy("bucket").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("keep").cast("long")).alias("n_pos"),
-    )
+    # bucket relation is ≤21 rows but feeds the window AND the totals
+    # agg: checkpoint so the corpus pass runs once
+    ).localCheckpoint(eager=False)
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
