@@ -484,3 +484,152 @@ WHERE c.doc_id IN (
   SELECT doc_id FROM clusters WHERE doc_id = keeper_doc_id
 )
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Incremental LSH dedup: admit a new crawl against a STORED signature
+# index without re-signing the old corpus
+# ---------------------------------------------------------------------------
+
+
+def new_crawl_batch_sql(d: str, table: str = "documents") -> str:
+    """The delta batch: near-dup mutations of every 10th old doc (must
+    be rejected), plus fresh pages at +3M (must be admitted), plus
+    exact copies of those at +4M (new-new dup: the lower id wins)."""
+    cast_t = "STRING" if d == H.SPARK else "VARCHAR"
+    fresh = (
+        f"'completely fresh crawl page number ' || CAST(doc_id AS {cast_t}) "
+        f"|| ' with its own distinct words'"
+    )
+    return (
+        f"SELECT doc_id + 1000000 AS doc_id, text || ' near duplicate tail' AS text "
+        f"FROM {table} WHERE doc_id % 10 = 0 "
+        f"UNION ALL "
+        f"SELECT doc_id + 3000000 AS doc_id, {fresh} AS text "
+        f"FROM {table} WHERE doc_id % 25 = 0 "
+        f"UNION ALL "
+        f"SELECT doc_id + 4000000 AS doc_id, {fresh} AS text "
+        f"FROM {table} WHERE doc_id % 25 = 0"
+    )
+
+
+def incremental_lsh_dedup(
+    old_sigs: DataFrame, new_docs: DataFrame, threshold: float = DEFAULT_JACCARD
+) -> DataFrame:
+    """(doc_id, n_matches, admitted) for every NEW document.
+
+    The 100-TB workflow: when a new crawl lands you must NOT re-shingle
+    the existing corpus — `old_sigs` is the stored signature index
+    (exactly `with_minhash`'s output relation, which dedup_minhash_lsh
+    already persists: doc_id + hashed shingle set + K signature
+    values). Only the delta pays the md5/shingle work; banding joins
+    the delta's bands against (stored ∪ delta) bands; exact Jaccard
+    verifies candidates on the stored hashed sets.
+
+    Admission policy (deterministic, order-free): a new doc is
+    REJECTED iff it verifies >= threshold against ANY old doc or any
+    lower-id new doc — the greedy stream-order rule, so the gate's
+    full-recompute oracle is exactly expressible. Transitive-cluster
+    policies compose downstream via resolve_clusters.
+
+    Scale shape: one signature pass over the delta only; one
+    (band,bucket) shuffle where the old side ships two BIGINTs per
+    band row; hydration joins fetch shingle payloads for candidates
+    only. The old corpus TEXT is never read."""
+    new_sigs = with_minhash(new_docs).persist()
+    band_arr = F.array(*[F.expr(H.band_hash(b, S)) for b in range(H.N_BANDS)])
+
+    def bands_of(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "doc_id", F.posexplode(band_arr).alias("band", "bucket")
+        )
+
+    all_b = (
+        bands_of(old_sigs).withColumn("p_old", F.lit(True))
+        .unionByName(bands_of(new_sigs).withColumn("p_old", F.lit(False)))
+        .select(
+            "band", "bucket", F.col("doc_id").alias("p_id"), "p_old"
+        )
+    )
+    cand = (
+        bands_of(new_sigs)
+        .join(all_b, ["band", "bucket"])
+        .where(F.col("p_old") | (F.col("p_id") < F.col("doc_id")))
+        .select("doc_id", "p_id")
+        .distinct()
+    )
+    all_sh = (
+        old_sigs.select("doc_id", "__sh")
+        .unionByName(new_sigs.select("doc_id", "__sh"))
+        .select(F.col("doc_id").alias("p_id"), F.col("__sh").alias("sh_p"))
+    )
+    jac = F.size(F.array_intersect("sh_n", "sh_p")).cast("double") / F.size(
+        F.array_union("sh_n", "sh_p")
+    )
+    matches = (
+        cand.join(new_sigs.select("doc_id", F.col("__sh").alias("sh_n")), "doc_id")
+        .join(all_sh, "p_id")
+        .where(jac >= F.lit(threshold))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(matches, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            F.coalesce("n_matches", F.lit(0)).eqNullSafe(0).alias("admitted"),
+        )
+    )
+
+
+def incremental_lsh_oracle_sql(
+    d: str, threshold: float = DEFAULT_JACCARD, table: str = "documents"
+) -> str:
+    """Full re-derivation over old ∪ new with the SAME banding and the
+    same greedy admission rule."""
+    toks = H.tokens_lower("text", d)
+    sh = H.shingles("__toks", d)
+    shh = H.shingle_hashes("__sh", d)
+    sig_cols = ", ".join(
+        f"{H.minhash_sig('__shh', k, d)} AS sig_{k}" for k in range(H.N_HASHES)
+    )
+    dedup_sh = "array_distinct(__shh)" if d == H.SPARK else "list_distinct(__shh)"
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, is_new, {b} AS band, {H.band_hash(b, d)} AS bucket FROM sigs"
+        for b in range(H.N_BANDS)
+    )
+    inter = "len(list_intersect(sn.sh, sp.sh))"
+    uni = "len(list_distinct(list_concat(sn.sh, sp.sh)))"
+    return f"""
+WITH old_docs AS (SELECT doc_id, text FROM {table}),
+new_docs AS ({new_crawl_batch_sql(d, table)}),
+corpus AS (
+  SELECT doc_id, text, FALSE AS is_new FROM old_docs
+  UNION ALL
+  SELECT doc_id, text, TRUE AS is_new FROM new_docs
+),
+sigs0 AS (SELECT doc_id, is_new, {sh} AS __sh
+          FROM (SELECT doc_id, is_new, {toks} AS __toks FROM corpus)),
+sigs1 AS (SELECT doc_id, is_new, __sh, {shh} AS __shh FROM sigs0),
+sigs AS (SELECT doc_id, is_new, {dedup_sh} AS sh, {sig_cols} FROM sigs1),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_id, p.doc_id AS p_id
+  FROM bands n JOIN bands p ON n.band = p.band AND n.bucket = p.bucket
+  WHERE n.is_new AND (NOT p.is_new OR p.doc_id < n.doc_id)
+),
+matches AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM cand c
+  JOIN sigs sn ON sn.doc_id = c.doc_id
+  JOIN sigs sp ON sp.doc_id = c.p_id
+  WHERE CAST({inter} AS DOUBLE) / {uni} >= {threshold}
+  GROUP BY c.doc_id
+)
+SELECT n.doc_id,
+       coalesce(m.n_matches, 0) AS n_matches,
+       coalesce(m.n_matches, 0) = 0 AS admitted
+FROM new_docs n LEFT JOIN matches m ON n.doc_id = m.doc_id
+""".strip()

@@ -3134,3 +3134,24 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") % decontam_op.BENCH_MOD == 0
     )
     return decontam_op.semantic_decontaminate(corpus, bench)
+
+
+@register(
+    "dedup_incremental_lsh",
+    dedup.incremental_lsh_oracle_sql(D),
+)
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl admission against a STORED MinHash index:
+    only the delta batch is shingled/signed; banding joins delta bands
+    against (stored ∪ delta) bands; exact Jaccard verifies candidates
+    on the stored hashed sets; greedy order-free rule (rejected iff
+    >= tau vs any old doc or lower-id new doc). Planted cohorts: +1M
+    near-dups must be rejected, +3M fresh pages admitted, +4M exact
+    copies of +3M rejected. The old corpus TEXT is never read — at
+    10^12 docs that is the entire point. Oracle: full recompute over
+    old ∪ new with the same banding."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.createOrReplaceTempView("documents_inc")
+    new_docs = spark.sql(dedup.new_crawl_batch_sql(sd.SPARK, "documents_inc"))
+    old_sigs = dedup.with_minhash(docs)
+    return dedup.incremental_lsh_dedup(old_sigs, new_docs)

@@ -668,3 +668,36 @@ def test_semantic_dedup_blocked_matches_unsalted(spark):
         ).collect()
     }
     assert plain == blocked
+
+
+def test_incremental_lsh_planted_cohorts(spark):
+    """+1M near-dups rejected, +3M fresh admitted, +4M copies of +3M
+    rejected; old text never consulted (operator takes only sigs)."""
+    from fineweb_modal_spark.functions import sqldialect as sd
+    from fineweb_modal_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"document number {i} talks about topic {i % 7} in "
+                f"plain simple words that repeat across documents")
+            for i in range(0, 100)
+        ],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("documents_inc_test")
+    new_docs = spark.sql(
+        dedup.new_crawl_batch_sql(sd.SPARK, "documents_inc_test")
+    )
+    out = {
+        r.doc_id: r.admitted
+        for r in dedup.incremental_lsh_dedup(
+            dedup.with_minhash(docs), new_docs
+        ).collect()
+    }
+    near = [k for k in out if 1000000 <= k < 2000000]
+    fresh = [k for k in out if 3000000 <= k < 4000000]
+    copies = [k for k in out if k >= 4000000]
+    assert near and fresh and copies
+    assert all(not out[k] for k in near)      # near-dups rejected
+    assert all(out[k] for k in fresh)          # fresh admitted
+    assert all(not out[k] for k in copies)     # exact new-new copies rejected
