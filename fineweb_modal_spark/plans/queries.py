@@ -3155,3 +3155,34 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_docs = spark.sql(dedup.new_crawl_batch_sql(sd.SPARK, "documents_inc"))
     old_sigs = dedup.with_minhash(docs)
     return dedup.incremental_lsh_dedup(old_sigs, new_docs)
+
+
+_TOKEN_HIST_STREAM_ORACLE = f"""
+WITH pages AS ({pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)}),
+t AS (
+  SELECT time_bucket(INTERVAL '5 minutes', warc_ts) AS win_start,
+         unnest({H.tokens_lower('text', sd.DUCKDB)}) AS token
+  FROM pages
+)
+SELECT win_start, token, CAST(count(*) AS BIGINT) AS n_tokens
+FROM t WHERE token <> '' GROUP BY win_start, token
+"""
+
+
+@register("token_histogram_stream", _TOKEN_HIST_STREAM_ORACLE)
+def q_token_histogram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → explode → watermarked 5-minute windowed unigram
+    counts → memory sink (the live feed token_drift consumes);
+    single-batch source ⇒ the watermark drops nothing and the stream
+    must equal the batch/DuckDB histogram exactly."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="gate_tokhist_")
+    pages_mod.load_pages(spark, sf_dir, with_html=False).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/pages")
+    return streaming_inc.windowed_token_histogram(
+        spark, f"{d}/pages", f"{d}/ckpt", query_name=f"gate_tokhist_{tag}"
+    )

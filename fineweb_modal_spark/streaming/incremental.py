@@ -174,3 +174,46 @@ def weekly_distinct_sketch(
     )
     q.awaitTermination()
     return hll.estimate(spark.table(query_name))
+
+
+def windowed_token_histogram(
+    spark: SparkSession,
+    pages_dir: str,
+    checkpoint: str,
+    query_name: str = "token_hist",
+) -> DataFrame:
+    """Streaming per-window unigram histogram over a live crawl:
+    readStream → explode tokens → watermarked 5-minute windowed count
+    → memory sink. This is the monitoring feed `token_drift` consumes
+    between windows — maintained incrementally instead of re-scanning
+    the corpus per report. State is (open windows × vocab) counters,
+    bounded by the watermark; late pages inside it fold into the same
+    count."""
+    from ..functions import sqldialect as sd
+    from ..spec import hashing as H
+
+    schema = spark.read.parquet(pages_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(pages_dir)
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    )
+    toks = H.tokens_lower("text", sd.SPARK)
+    hist = (
+        stream.withWatermark("warc_ts", "1 hour")
+        .select("warc_ts", F.explode(F.expr(toks)).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy(F.window("warc_ts", "5 minutes").alias("w"), "token")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .select(F.col("w.start").alias("win_start"), "token", "n_tokens")
+    )
+    q = (
+        hist.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -94,3 +94,19 @@ def test_token_drift_detects_planted_shift(spark):
     # chi2 ordering is non-increasing with token tie-break
     keys = [(-r.chi2_e12, r.token) for r in out]
     assert keys == sorted(keys)
+
+
+def test_token_drift_identity_is_zero(spark):
+    # identical snapshots -> every chi2/TV term is exactly 0 and the
+    # per-token counts agree (Laplace smoothing cancels)
+    snap = spark.createDataFrame(
+        [(i, f"https://h.example/{i}", f"alpha beta gamma token{i % 5}")
+         for i in range(30)],
+        "doc_id long, url string, text string",
+    )
+    out = crawldiff.token_drift(snap, snap, top_n=100).collect()
+    assert out  # vocab is non-empty
+    for r in out:
+        assert r.old_cnt == r.new_cnt
+        assert r.chi2_e12 == 0
+        assert r.tv_e12 == 0

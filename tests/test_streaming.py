@@ -189,3 +189,36 @@ def test_weekly_hll_sketch_matches_batch(spark, tmp_path):
     }
     for wk, n in exact.items():
         assert abs(got[wk] - n) / n < 0.25, (wk, got[wk], n)
+
+
+def test_windowed_token_histogram_matches_batch(spark, tmp_path):
+    from fineweb_modal_spark.spec import hashing as H
+    from fineweb_modal_spark.streaming import incremental as inc
+
+    rows = [
+        (i, f"https://h.example/{i}", "alpha beta beta gamma",
+         "2024-01-01 00:%02d:00" % (i % 12))
+        for i in range(40)
+    ]
+    pages = spark.createDataFrame(
+        rows, "doc_id long, url string, text string, warc_ts string"
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    pages.write.parquet(str(tmp_path / "pages"))
+    got = {
+        (r.win_start, r.token): r.n_tokens
+        for r in inc.windowed_token_histogram(
+            spark, str(tmp_path / "pages"), str(tmp_path / "ckpt"),
+            query_name="t_tok_hist",
+        ).collect()
+    }
+    batch = (
+        pages.select(
+            F.window("warc_ts", "5 minutes").start.alias("win_start"),
+            F.explode(F.expr(H.tokens_lower("text", "spark"))).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("win_start", "token")
+        .count()
+    )
+    want = {(r.win_start, r.token): r["count"] for r in batch.collect()}
+    assert got == want and len(got) >= 6  # >=2 windows x 3 tokens
