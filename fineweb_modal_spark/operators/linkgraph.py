@@ -58,9 +58,11 @@ def linked_pages_sql(d: str, pages: str = "pages") -> str:
     return (
         f"SELECT doc_id, url, "
         f"'<html><body><p>x</p>' "
-        f"|| '<a href=\"https://h' || CAST((doc_id + 1) % 13 AS {cast_t}) || '.example.com/l/1\">a</a>' "
-        f"|| '<a href=\"https://h' || CAST((doc_id * 5 + 2) % 13 AS {cast_t}) || '.example.com/l/2\">b</a>' "
-        f"|| CASE WHEN doc_id % 2 = 0 THEN '<a href=\"https://h0.example.com/t\">t</a>' ELSE '' END "
+        f"|| '<a href=\"https://h' || CAST((doc_id + 1) % 13 AS {cast_t}) || '.example.com/l/1\">"
+        f"topic ' || CAST(doc_id % 7 AS {cast_t}) || ' guide</a>' "
+        f"|| '<a href=\"https://h' || CAST((doc_id * 5 + 2) % 13 AS {cast_t}) || '.example.com/l/2\">"
+        f"read more here</a>' "
+        f"|| CASE WHEN doc_id % 2 = 0 THEN '<a href=\"https://h0.example.com/t\">trusted home page</a>' ELSE '' END "
         f"|| '</body></html>' AS html "
         f"FROM {pages}"
     )
@@ -196,4 +198,84 @@ r0 AS (SELECT host, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS rank
        FROM nodes CROSS JOIN ncount nn),
 {chain}
 SELECT host, round(rank, 6) AS rank FROM r{iters}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text index: what the web SAYS about each host
+# ---------------------------------------------------------------------------
+
+# href + anchor text in one pattern (no lookaround/backrefs — common
+# subset of java.util.regex and RE2); group 1 = target host, group 2 =
+# anchor text
+_ANCHOR_RE = 'href="https://([^/"]+)[^"]*"[^>]*>([^<]+)<'
+
+ANCHOR_TOP_K = 3
+
+
+def anchor_text_index(linked: DataFrame, top_k: int = ANCHOR_TOP_K) -> DataFrame:
+    """(dst_host, token, n, rk): the top-k anchor-text tokens pointing
+    at each host — the classic off-page relevance/quality signal
+    (what OTHER pages call a host is harder to spam than what the
+    host says about itself).
+
+    Scale shape: both capture groups extract in one codegen pass;
+    arrays_zip keeps (host, text) aligned with zero joins; tokens
+    two-phase count into a (host, token)-sized relation; the top-k
+    window runs per host with WindowGroupLimit partial ranking."""
+    from pyspark.sql import Window
+
+    pairs = (
+        linked.selectExpr(
+            f"regexp_extract_all(html, '{_ANCHOR_RE}', 1) AS dsts",
+            f"regexp_extract_all(html, '{_ANCHOR_RE}', 2) AS txts",
+        )
+        .select(F.explode(F.arrays_zip("dsts", "txts")).alias("z"))
+        .select(
+            F.col("z.dsts").alias("dst_host"),
+            F.explode(F.split(F.col("z.txts"), r"\s+")).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    counts = pairs.groupBy("dst_host", "token").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .select("dst_host", "token", "n", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+def anchor_index_oracle_sql(
+    d: str, pages_select: str, top_k: int = ANCHOR_TOP_K
+) -> str:
+    """Same extraction: DuckDB unnests the two parallel capture-group
+    lists in lockstep (multiple unnests in one SELECT zip)."""
+    return f"""
+WITH pages AS ({pages_select}),
+linked AS ({linked_pages_sql(d)}),
+pairs0 AS (
+  SELECT unnest(regexp_extract_all(html, 'href="https://([^/"]+)[^"]*"[^>]*>([^<]+)<', 1)) AS dst_host,
+         unnest(regexp_extract_all(html, 'href="https://([^/"]+)[^"]*"[^>]*>([^<]+)<', 2)) AS txt
+  FROM linked
+),
+pairs AS (
+  SELECT dst_host, unnest(regexp_split_to_array(txt, '\\s+')) AS token
+  FROM pairs0
+),
+counts AS (
+  SELECT dst_host, token, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE token <> '' GROUP BY dst_host, token
+),
+ranked AS (
+  SELECT dst_host, token, n,
+         row_number() OVER (PARTITION BY dst_host ORDER BY n DESC, token ASC) AS rk
+  FROM counts
+)
+SELECT dst_host, token, n, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {top_k}
 """.strip()

@@ -3186,3 +3186,61 @@ def q_token_histogram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_inc.windowed_token_histogram(
         spark, f"{d}/pages", f"{d}/ckpt", query_name=f"gate_tokhist_{tag}"
     )
+
+
+_QUOTA_N = 20
+
+_QUOTA_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {H.md5_i64("'quota:' || CAST(doc_id AS VARCHAR)", sd.DUCKDB)}, doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_QUOTA_N}
+"""
+
+
+@register("quota_sample_per_lang", _QUOTA_ORACLE)
+def q_quota_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-quota eval-set sampler: precisely 20 docs per language
+    (or all, if fewer), chosen by a deterministic md5 order — the form
+    eval-set construction needs (per-row coins give binomial counts,
+    not quotas) and the one that stays identical across engines,
+    retries, and cluster sizes. Plan: one lang-partitioned window;
+    rank<=k lets WindowGroupLimit keep a partial top-k per map task,
+    so only ~k rows per lang per partition cross the shuffle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    coin = F.expr(
+        H.md5_i64("'quota:' || CAST(doc_id AS STRING)", sd.SPARK)
+    )
+    w = Window.partitionBy("lang").orderBy(coin.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _QUOTA_N)
+        .select("doc_id", "lang", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+@register(
+    "anchor_text_index",
+    linkgraph_op.anchor_index_oracle_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 anchor-text tokens pointing at each host — the off-page
+    relevance/quality signal (what OTHER pages call a host is harder
+    to spam than on-page text). Both capture groups extract in one
+    codegen pass, arrays_zip keeps (host, text) aligned with zero
+    joins, and the per-host top-k window ranks a (host, token)-sized
+    relation."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    p.createOrReplaceTempView("pages_anchor")
+    linked = spark.sql(linkgraph_op.linked_pages_sql(sd.SPARK, "pages_anchor"))
+    return linkgraph_op.anchor_text_index(linked)

@@ -80,3 +80,38 @@ def test_semantic_decontaminate_flags_planted_copies(spark):
     }
     assert set(out) == {100, 101, 102}
     assert out[100] and out[102] and not out[101]
+
+
+def test_anchor_text_index_topk(spark):
+    out = linkgraph.anchor_text_index(_linked(spark)).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.dst_host, []).append(r)
+    assert set(by_host) <= {f"h{i}.example.com" for i in range(13)}
+    for host, rows in by_host.items():
+        assert len(rows) <= 3
+        rows.sort(key=lambda r: r.rk)
+        keys = [(-r.n, r.token) for r in rows]
+        assert keys == sorted(keys)  # rank order = (n desc, token asc)
+    # h0 receives 'trusted home page' from every even doc (100 links)
+    # -> those tokens dominate its anchor profile
+    h0 = {r.token for r in by_host["h0.example.com"]}
+    assert h0 & {"trusted", "home", "page"}
+
+
+def test_quota_sampler_exact_counts(spark):
+    from fineweb_modal_spark.plans import queries as Q
+
+    out = Q.queries()["quota_sample_per_lang"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    from collections import Counter
+
+    c = Counter(r.lang for r in out)
+    # every language hits its exact quota (fixture has >=20 per lang)
+    assert all(v == 20 for v in c.values()) and len(c) >= 3
+    # deterministic: second run identical
+    out2 = Q.queries()["quota_sample_per_lang"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
