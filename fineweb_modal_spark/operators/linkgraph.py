@@ -279,3 +279,39 @@ ranked AS (
 SELECT dst_host, token, n, CAST(rk AS BIGINT) AS rk
 FROM ranked WHERE rk <= {top_k}
 """.strip()
+
+
+def host_cocitation(linked: DataFrame) -> DataFrame:
+    """(host_a, host_b, n_common_sources): hosts co-linked by the same
+    source hosts — the 'related sites' primitive (co-citation needs no
+    content similarity, only structure). Edge list is host-granular,
+    so the self-join is node²-bounded, not corpus-bounded."""
+    e = host_edges(linked).select("src", "dst").distinct()
+    a = e.select("src", F.col("dst").alias("host_a"))
+    b = e.select("src", F.col("dst").alias("host_b"))
+    return (
+        a.join(b, "src")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("n_common_sources"))
+    )
+
+
+def cocitation_oracle_sql(d: str, pages_select: str) -> str:
+    unnest = (
+        f"explode(regexp_extract_all(html, '{_HREF_RE}', 1))"
+        if d == S
+        else f"unnest(regexp_extract_all(html, '{_HREF_RE}', 1))"
+    )
+    return f"""
+WITH pages AS ({pages_select}),
+linked AS ({linked_pages_sql(d)}),
+e AS (
+  SELECT DISTINCT {blocklist.host_sql("url", d)} AS src, {unnest} AS dst
+  FROM linked
+)
+SELECT a.dst AS host_a, b.dst AS host_b,
+       CAST(count(*) AS BIGINT) AS n_common_sources
+FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+GROUP BY a.dst, b.dst
+""".strip()

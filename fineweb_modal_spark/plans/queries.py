@@ -3244,3 +3244,35 @@ def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     p.createOrReplaceTempView("pages_anchor")
     linked = spark.sql(linkgraph_op.linked_pages_sql(sd.SPARK, "pages_anchor"))
     return linkgraph_op.anchor_text_index(linked)
+
+
+@register(
+    "host_cocitation",
+    linkgraph_op.cocitation_oracle_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_host_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-hosts by co-citation: pairs of hosts linked by the same
+    source hosts, with the common-source count — pure structure, no
+    content similarity needed. The self-join runs on the host-granular
+    distinct edge list (node²-bounded, never corpus-bounded)."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    p.createOrReplaceTempView("pages_cocite")
+    linked = spark.sql(linkgraph_op.linked_pages_sql(sd.SPARK, "pages_cocite"))
+    return linkgraph_op.host_cocitation(linked)
+
+
+@register(
+    "corpus_diversity",
+    textstats.diversity_oracle_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-diversity KPI: effective number of hosts per language
+    (inverse Simpson over host shares). Integer-exact operands — the
+    single double division is bit-identical across engines. Catches
+    the planted h0 volume skew as depressed effective-host count."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    return textstats.corpus_diversity(p)

@@ -115,3 +115,35 @@ def test_quota_sampler_exact_counts(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_cocitation_symmetric_pairs(spark):
+    out = linkgraph.host_cocitation(_linked(spark)).collect()
+    assert out
+    for r in out:
+        assert r.host_a < r.host_b          # canonical order, no dupes
+        assert r.n_common_sources >= 1
+    # h0 is linked from every host (even docs everywhere) -> h0 pairs
+    # with many hosts
+    h0_pairs = [r for r in out if "h0." in (r.host_a, r.host_b)[0] or r.host_b == "h0.example.com" or r.host_a == "h0.example.com"]
+    assert len(h0_pairs) >= 5
+
+
+def test_corpus_diversity_skew_detection(spark):
+    from fineweb_modal_spark.operators import textstats
+
+    rows = (
+        # 'mono' lang: 90 docs on one host, 10 on another -> low
+        # effective hosts; 'flat' lang: 50/50 -> ~2.0
+        [(i, f"https://big.example/p/{i}", "x", "mono") for i in range(90)]
+        + [(i + 90, f"https://small.example/p/{i}", "x", "mono") for i in range(10)]
+        + [(200 + i, f"https://a.example/p/{i}", "x", "flat") for i in range(50)]
+        + [(300 + i, f"https://b.example/p/{i}", "x", "flat") for i in range(50)]
+    )
+    pages = spark.createDataFrame(
+        rows, "doc_id long, url string, text string, lang string"
+    )
+    out = {r.lang: r for r in textstats.corpus_diversity(pages).collect()}
+    assert out["flat"].inv_simpson == 2.0
+    assert out["mono"].inv_simpson < 1.3
+    assert out["mono"].n_docs == 100 and out["mono"].n_hosts == 2
