@@ -633,3 +633,67 @@ SELECT n.doc_id,
        coalesce(m.n_matches, 0) = 0 AS admitted
 FROM new_docs n LEFT JOIN matches m ON n.doc_id = m.doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware keeper: keep the BEST doc per dup cluster, not the
+# lowest id
+# ---------------------------------------------------------------------------
+
+
+def quality_aware_keepers(corpus: DataFrame, clusters: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, score_ppm, keep): within each near-dup
+    cluster keep the member with the highest classifier score
+    (FineWeb-style — near-dups usually differ by boilerplate, and the
+    cleanest copy should survive), tie-broken by lowest doc_id.
+
+    The score is the established integer ppm rendering, so the argmax
+    has no float boundary; rank<=1 per cluster runs as a
+    WindowGroupLimit partial top-1 — only one candidate row per
+    cluster per map task crosses the shuffle."""
+    from pyspark.sql import Window
+
+    from . import quality
+
+    scored = quality.with_classifier(corpus).select(
+        "doc_id",
+        F.round(F.col("clf_score") * 1000000).cast("bigint").alias("score_ppm"),
+    )
+    j = clusters.select(
+        "doc_id", F.col("keeper_doc_id").alias("cluster_id")
+    ).join(scored, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score_ppm").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "score_ppm",
+            (F.col("rk") == 1).alias("keep"),
+        )
+    )
+
+
+def quality_keeper_oracle_sql(d: str, threshold: float = DEFAULT_JACCARD) -> str:
+    from . import quality
+
+    clusters = resolve_clusters_oracle_sql(d, threshold)
+    corpus = corpus_with_near_dups_sql(d)
+    clf = quality.classifier_sql(d, table="corpus2", key_cols="doc_id")
+    return f"""
+WITH clusters AS ({clusters}),
+corpus2 AS ({corpus}),
+clf AS ({clf}),
+j AS (
+  SELECT cl.doc_id, cl.keeper_doc_id AS cluster_id,
+         CAST(round(c.clf_score * 1000000) AS BIGINT) AS score_ppm
+  FROM clusters cl JOIN clf c ON cl.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id, score_ppm,
+       row_number() OVER (
+         PARTITION BY cluster_id ORDER BY score_ppm DESC, doc_id ASC
+       ) = 1 AS keep
+FROM j
+""".strip()

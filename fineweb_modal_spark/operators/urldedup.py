@@ -153,3 +153,69 @@ SELECT norm_url, warc_ts AS last_ts, doc_id AS keeper_doc_id,
        CAST(n_copies AS BIGINT) AS n_copies
 FROM ranked WHERE rn = 1
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# URL template mining: crawl-trap / faceted-nav detection
+# ---------------------------------------------------------------------------
+
+TEMPLATE_TOP_K = 3
+_PATH_RE = "https?://[^/]+(/[^?#]*)"
+
+
+def url_templates(pages: DataFrame, top_k: int = TEMPLATE_TOP_K) -> DataFrame:
+    """(host, template, n, rk): the top-k URL path templates per host,
+    digit runs collapsed to '<d>' — the crawl-ops report that surfaces
+    calendar traps, pagination explosions, and faceted-nav loops
+    (one template carrying most of a host's URLs = a trap, not
+    content). Pure codegen extraction + two-phase count; the top-k
+    window ranks a (host, template)-sized relation."""
+    from pyspark.sql import Window
+
+    from . import blocklist
+
+    t = blocklist.with_host(pages).select(
+        "host",
+        F.expr(
+            sd.regexp_replace_all(
+                f"regexp_extract(url, '{_PATH_RE}', 1)", "[0-9]+", "<d>", sd.SPARK
+            )
+        ).alias("template"),
+    )
+    counts = t.groupBy("host", "template").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("host").orderBy(
+        F.col("n").desc(), F.col("template").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .select("host", "template", "n", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+def url_templates_oracle_sql(
+    d: str, pages_select: str, top_k: int = TEMPLATE_TOP_K
+) -> str:
+    from . import blocklist
+
+    tmpl = sd.regexp_replace_all(
+        f"regexp_extract(url, '{_PATH_RE}', 1)", "[0-9]+", "<d>", d
+    )
+    return f"""
+WITH pages AS ({pages_select}),
+t AS (
+  SELECT {blocklist.host_sql("url", d)} AS host, {tmpl} AS template
+  FROM pages
+),
+counts AS (
+  SELECT host, template, CAST(count(*) AS BIGINT) AS n
+  FROM t GROUP BY host, template
+),
+ranked AS (
+  SELECT host, template, n,
+         row_number() OVER (PARTITION BY host ORDER BY n DESC, template ASC) AS rk
+  FROM counts
+)
+SELECT host, template, n, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {top_k}
+""".strip()

@@ -3276,3 +3276,39 @@ def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the planted h0 volume skew as depressed effective-host count."""
     p = pages_mod.load_pages(spark, sf_dir, with_html=False)
     return textstats.corpus_diversity(p)
+
+
+@register(
+    "url_template_mining",
+    urldedup.url_templates_oracle_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_url_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap report: top-3 URL path templates per host with digit
+    runs collapsed to '<d>' — one template carrying most of a host's
+    URLs means pagination/calendar/faceted-nav loops, not content.
+    Codegen extraction, two-phase count, per-host WindowGroupLimit."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    return urldedup.url_templates(p)
+
+
+@register(
+    "dedup_quality_keeper",
+    dedup.quality_keeper_oracle_sql(D),
+)
+def q_dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keeper policy: within each LSH near-dup
+    cluster keep the HIGHEST-classifier-score member (FineWeb keeps
+    the cleanest copy, not the lowest id), integer-ppm argmax with
+    doc_id tie-break. Composes pairs -> connected components ->
+    per-cluster top-1 window."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    corpus = spark.sql(dedup.corpus_with_near_dups_sql(sd.SPARK))
+    pairs = dedup.lsh_pairs(corpus).where(
+        F.col("jaccard") >= dedup.DEFAULT_JACCARD
+    )
+    clusters = dedup.resolve_clusters(pairs, corpus.select("doc_id"))
+    return dedup.quality_aware_keepers(corpus, clusters)

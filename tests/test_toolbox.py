@@ -701,3 +701,43 @@ def test_incremental_lsh_planted_cohorts(spark):
     assert all(not out[k] for k in near)      # near-dups rejected
     assert all(out[k] for k in fresh)          # fresh admitted
     assert all(not out[k] for k in copies)     # exact new-new copies rejected
+
+
+def test_quality_keeper_picks_best_not_lowest_id(spark):
+    """A cluster where the HIGHER-id member has the better classifier
+    score must keep the high-id doc — the exact case min-id keepers
+    get wrong."""
+    from fineweb_modal_spark.operators import dedup
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "far away to the old house by the sea where all of them rest"
+    )
+    # near-identical pair: doc 2 = doc 1 + digit spam head (worse
+    # score, same shingle tail), plus an unrelated singleton
+    rows = [
+        (1, "00 11 22 33 44 55 " + good),
+        (2, good),
+        (9, "completely different text about another topic entirely here"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.lsh_pairs(corpus).where("jaccard >= 0.5")
+    clusters = dedup.resolve_clusters(pairs, corpus.select("doc_id"))
+    out = {r.doc_id: r for r in dedup.quality_aware_keepers(corpus, clusters).collect()}
+    if out[1].cluster_id == out[2].cluster_id:  # pair actually clustered
+        assert out[2].keep and not out[1].keep  # best score wins, not min id
+        assert out[2].score_ppm > out[1].score_ppm
+    assert out[9].keep  # singleton keeps itself
+
+
+def test_url_templates_collapse_digits(spark):
+    from fineweb_modal_spark.operators import urldedup
+
+    pages = spark.createDataFrame(
+        [(i, f"https://shop.example.com/item/{i}/view", "x") for i in range(50)]
+        + [(100 + i, f"https://shop.example.com/about", "x") for i in range(2)],
+        "doc_id long, url string, text string",
+    )
+    out = urldedup.url_templates(pages).collect()
+    top = sorted(out, key=lambda r: r.rk)[0]
+    assert top.template == "/item/<d>/view" and top.n == 50
