@@ -51,3 +51,75 @@ def mixture_sample(
         .where(F.col("__coin") < F.col("rate_num"))
         .drop("__coin", "rate_num")
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch UPSAMPLING: mixture rates above 1 (DoReMi/llama-style
+# upweighting of high-quality sources)
+# ---------------------------------------------------------------------------
+
+
+def upsample(
+    docs: DataFrame,
+    rates: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Replicate each doc rate/MIX_DEN times in expectation:
+    floor(rate/DEN) whole copies per doc plus one extra with
+    probability (rate % DEN)/DEN via the deterministic md5 coin —
+    e.g. rate_num=2500 → 2.5 epochs of that source. Output rows carry
+    copy_id (0-based) so downstream shuffles can salt on it.
+
+    Zero-shuffle row-local explode after the broadcast rates join; the
+    expansion factor is the recipe's, so output size is budgeted by
+    construction. The fractional coin shares mixture_sample's salt —
+    rate_num <= DEN degenerates to exactly mixture_sample's keep set
+    (copy 0 iff coin < rate), so down- and up-sampling are ONE
+    consistent policy."""
+    coined = docs.withColumn("__coin", F.expr(coin_expr(S, id_col)))
+    n_copies = (
+        F.floor(F.col("rate_num") / F.lit(MIX_DEN))
+        + (F.col("__coin") < F.col("rate_num") % F.lit(MIX_DEN)).cast("bigint")
+    )
+    return (
+        coined.join(F.broadcast(rates), source_col)
+        .withColumn("__n", n_copies)
+        .where(F.col("__n") > 0)
+        .withColumn("copy_id", F.explode(F.expr("sequence(0, __n - 1)")))
+        .drop("__coin", "rate_num", "__n")
+    )
+
+
+def upsample_rates_sql(d: str) -> str:
+    """Deterministic recipe: wiki-ish source upweighted 2.5x, web 0.4x,
+    one source absent (dropped)."""
+    return (
+        "SELECT * FROM (VALUES "
+        "('src0', 2500), ('src1', 400), ('src2', 1000), ('src3', 1700)"
+        ") AS t(source, rate_num)"
+    )
+
+
+def upsample_oracle_sql(d: str, table: str = "documents") -> str:
+    coin = coin_expr(d)
+    seq = (
+        "sequence(0, CAST(n_copies - 1 AS INT))"
+        if d == S
+        else "generate_series(0, CAST(n_copies - 1 AS BIGINT))"
+    )
+    return f"""
+WITH rates AS ({upsample_rates_sql(d)}),
+coined AS (
+  SELECT d.doc_id, d.source, ({coin}) AS coin, r.rate_num
+  FROM {table} d JOIN rates r ON d.source = r.source
+),
+expanded AS (
+  SELECT doc_id, source,
+         (rate_num // {MIX_DEN})
+           + CASE WHEN coin < rate_num % {MIX_DEN} THEN 1 ELSE 0 END AS n_copies
+  FROM coined
+)
+SELECT doc_id, source, CAST(unnest({seq}) AS BIGINT) AS copy_id
+FROM expanded WHERE n_copies > 0
+""".strip()

@@ -368,3 +368,44 @@ SELECT bucket, n_docs, n_pos,
          / CAST(t_pos AS DOUBLE), 6) AS recall_at
 FROM b CROSS JOIN tot
 """.strip()
+
+
+def score_percentile_by_lang(df: DataFrame, lang_col: str = "lang",
+                             text_col: str = "text") -> DataFrame:
+    """(doc_id, lang, score_ppm, pctl): classifier score converted to
+    its within-language percentile (percent_rank over the integer ppm
+    score) — the calibration that makes ONE cutoff comparable across
+    languages (raw scores skew by language; percentiles don't).
+
+    Exact form: a per-language sort (the honest cost of exact
+    percentiles; the sketch-based adaptive_cutoff_filter is the
+    fixed-memory alternative when approximate quantiles suffice).
+    percent_rank = (rank-1)/(n-1) divides exact integers — ties on the
+    integer ppm score rank identically on both engines."""
+    from pyspark.sql import Window
+
+    clf = with_classifier(df, text_col=text_col)
+    scored = clf.select(
+        "doc_id",
+        F.col(lang_col).alias("lang"),
+        F.round(F.col("clf_score") * 1000000).cast("bigint").alias("score_ppm"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score_ppm").asc())
+    return scored.withColumn(
+        "pctl", F.round(F.percent_rank().over(w), 6)
+    )
+
+
+def score_percentile_sql(d: str, pages_select: str) -> str:
+    clf = classifier_sql(d, table="pages", key_cols="doc_id, lang")
+    return f"""
+WITH pages AS ({pages_select}),
+clf AS ({clf})
+SELECT doc_id, lang,
+       CAST(round(clf_score * 1000000) AS BIGINT) AS score_ppm,
+       round(percent_rank() OVER (
+         PARTITION BY lang
+         ORDER BY CAST(round(clf_score * 1000000) AS BIGINT) ASC
+       ), 6) AS pctl
+FROM clf
+""".strip()

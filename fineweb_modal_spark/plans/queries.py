@@ -3312,3 +3312,36 @@ def q_dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clusters = dedup.resolve_clusters(pairs, corpus.select("doc_id"))
     return dedup.quality_aware_keepers(corpus, clusters)
+
+
+from ..operators import mixture as mixture_op  # noqa: E402
+
+
+@register("mixture_upsample", mixture_op.upsample_oracle_sql(D))
+def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch upsampling (mixture rates ABOVE 1): src0 replicated 2.5x
+    in expectation (2 whole copies + md5-coin fractional), src1 down
+    to 0.4x, unlisted sources dropped — one consistent policy with
+    mixture_sample (same coin, same recipe-table shape). Row-local
+    explode after a broadcast rates join; zero corpus shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rates = spark.sql(mixture_op.upsample_rates_sql(sd.SPARK))
+    return mixture_op.upsample(docs, rates).select(
+        "doc_id", "source", "copy_id"
+    )
+
+
+@register(
+    "score_percentile_by_lang",
+    quality.score_percentile_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_score_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-language percentile of the classifier score — the
+    calibration that makes one quality cutoff comparable across
+    languages. Exact percent_rank over the integer ppm score (ties
+    rank identically on both engines); the sketch-based
+    adaptive_quality_cutoff gate is the fixed-memory approximation."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    return quality.score_percentile_by_lang(p)

@@ -741,3 +741,55 @@ def test_url_templates_collapse_digits(spark):
     out = urldedup.url_templates(pages).collect()
     top = sorted(out, key=lambda r: r.rk)[0]
     assert top.template == "/item/<d>/view" and top.n == 50
+
+
+def test_upsample_copy_counts(spark):
+    from fineweb_modal_spark.operators import mixture
+
+    docs = spark.createDataFrame(
+        [(i, "src0" if i < 40 else "srcX") for i in range(80)],
+        "doc_id long, source string",
+    )
+    rates = spark.createDataFrame(
+        [("src0", 2500)], "source string, rate_num int"
+    )
+    out = mixture.upsample(docs, rates).collect()
+    ids = [r.doc_id for r in out]
+    assert all(i < 40 for i in ids)  # unlisted source dropped
+    from collections import Counter
+
+    per_doc = Counter(ids)
+    # 2.5x: every kept doc has 2 or 3 copies, mean ~2.5
+    assert set(per_doc.values()) <= {2, 3}
+    total = sum(per_doc.values())
+    assert 2.0 * 40 <= total <= 3.0 * 40
+    # copy_ids are contiguous from 0
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.copy_id)
+    for cids in by_doc.values():
+        assert sorted(cids) == list(range(len(cids)))
+
+
+def test_score_percentile_bounds_and_order(spark):
+    from fineweb_modal_spark.operators import quality
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "far away to the old house by the sea where all of them rest"
+    )
+    rows = [
+        (i, "en", good if i % 2 else "00 11 22 33 44 55 66 77 88 99")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = quality.score_percentile_by_lang(df).collect()
+    assert all(0.0 <= r.pctl <= 1.0 for r in out)
+    # higher score => higher percentile within the language
+    srt = sorted(out, key=lambda r: r.score_ppm)
+    pct = [r.pctl for r in srt]
+    assert pct == sorted(pct)
+    # the two planted cohorts separate
+    hi = [r.pctl for r in out if r.score_ppm == max(x.score_ppm for x in out)]
+    lo = [r.pctl for r in out if r.score_ppm == min(x.score_ppm for x in out)]
+    assert min(hi) > max(lo)
