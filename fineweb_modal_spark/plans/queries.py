@@ -3345,3 +3345,36 @@ def q_score_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     adaptive_quality_cutoff gate is the fixed-memory approximation."""
     p = pages_mod.load_pages(spark, sf_dir, with_html=False)
     return quality.score_percentile_by_lang(p)
+
+
+def _lang_confusion_sql(d: str, pages_ref: str) -> str:
+    from ..spec import langid_model as lm
+
+    sel = lm.langid_select_sql(
+        d, table=pages_ref, text_col="text", key_cols="doc_id, lang"
+    )
+    return f"""
+SELECT lang AS lang_claimed, lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM ({sel})
+GROUP BY lang, lang_pred
+""".strip()
+
+
+_LANG_CONFUSION_ORACLE = f"""
+WITH pages AS ({pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)})
+{_lang_confusion_sql(sd.DUCKDB, "pages")}
+"""
+
+
+@register("lang_confusion_matrix", _LANG_CONFUSION_ORACLE)
+def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: claimed lang (crawl metadata) vs
+    the model's prediction, counted per pair — the evaluation table
+    that justifies trusting lang_pred over upstream metadata. Uses the
+    spec model's exact relational argmax rendering (integer scores,
+    CASE-order tie-break) as a pure-codegen ENGINE operator — the
+    vectorized-UDF path (pipeline_scored) computes the same label with
+    softmax confidence."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    p.createOrReplaceTempView("pages_conf")
+    return spark.sql(_lang_confusion_sql(sd.SPARK, "pages_conf"))
