@@ -3378,3 +3378,29 @@ def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = pages_mod.load_pages(spark, sf_dir, with_html=False)
     p.createOrReplaceTempView("pages_conf")
     return spark.sql(_lang_confusion_sql(sd.SPARK, "pages_conf"))
+
+
+from ..operators import layout as layout_op  # noqa: E402
+
+_ZORDER_ORACLE = f"""
+SELECT doc_id,
+       CAST({layout_op.zvalue_sql("(doc_id % 65536)", "(n_chars % 65536)", sd.DUCKDB)} AS BIGINT) AS zval
+FROM documents
+"""
+
+
+@register("zorder_values", _ZORDER_ORACLE)
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) codes over (doc_id, n_chars) — the layout key
+    that makes min/max file stats prune BOTH dimensions when written
+    range-partitioned+sorted (operators/layout.zorder_layout). Exact
+    integer shift/mask arithmetic, pure codegen, dialect-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    return layout_op.with_zvalue(
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % 65536).alias("xd"),
+            (F.col("n_chars") % 65536).alias("yd"),
+        ),
+        "xd", "yd",
+    ).select("doc_id", "zval")

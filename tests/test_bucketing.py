@@ -85,3 +85,41 @@ def test_sql_string_interface(spark):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_zvalue_matches_python_mirror(spark):
+    from fineweb_modal_spark.operators import layout
+
+    rows = [(i, (i * 37) % 65536, (i * 101) % 65536) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, x long, y long")
+    got = {r.doc_id: r.zval for r in layout.with_zvalue(df, "x", "y").collect()}
+    for i, x, y in rows:
+        assert got[i] == layout.zvalue_py(x, y), (i, x, y)
+
+
+def test_zorder_layout_files_hold_rectangles(spark, tmp_path):
+    """Each range-partitioned file holds a contiguous z-range, i.e. a
+    bounded rectangle of (x, y) space — the property min/max stats
+    pruning relies on."""
+    from pyspark.sql import functions as F
+
+    from fineweb_modal_spark.operators import layout
+
+    df = spark.range(4096).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 7) % 64).alias("y"),
+    )
+    out = layout.zorder_layout(df, "x", "y", n_files=8)
+    import pyspark.sql.functions as f
+
+    per_part = (
+        out.withColumn("pid", f.spark_partition_id())
+        .groupBy("pid")
+        .agg(f.min("zval").alias("lo"), f.max("zval").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in per_part)
+    # ranges are disjoint and ordered -> contiguous z-ranges per file
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
