@@ -610,11 +610,16 @@ def _ivf_common_ctes(
     sample_cap: int = SAMPLE_CAP,
     table: str = "embeddings",
     prelude: str = "",
+    assign_table: str | None = None,
 ) -> str:
     """Shared CTE prefix (WITH … probes): coarse-index training +
     full-corpus assignment, used by the exact-IVF, IVF-PQ and
     SemDeDup oracles. `prelude` injects extra leading CTEs (e.g. a
-    constructed dup corpus that `table` then names)."""
+    constructed dup corpus that `table` then names). `assign_table`
+    (default: `table`) lets the ASSIGNED relation differ from the
+    TRAINING relation — the incremental index-maintenance case."""
+    if assign_table is None:
+        assign_table = table
     md5v = H.md5_i64("CAST(vec_id AS VARCHAR)", d)
     seed_key = H.md5_i64("'seed:' || CAST(vec_id AS VARCHAR)", d)
     to_dbl = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -668,7 +673,7 @@ cents_0 AS (
   FROM seeds WHERE rn <= (SELECT c FROM params)
 ),
 {iter_sql},
-en AS (SELECT vec_id, {to_dbl} AS emb FROM {table}),
+en AS (SELECT vec_id, {to_dbl} AS emb FROM {assign_table}),
 scored AS (
   SELECT e.vec_id, e.emb, ({nrm_e}) AS vnorm, c.centroid_id,
          ({dot_ec}) / (({nrm_e}) * ({nrm_c})) AS ccos
@@ -1234,4 +1239,64 @@ semdropped AS (
 SELECT s.vec_id, s.cell, s.pri AS centroid_cos,
        (dr.vec_id IS NULL) AS keep
 FROM sem s LEFT JOIN semdropped dr ON s.vec_id = dr.vec_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF maintenance: assign NEW vectors to the STORED index
+# ---------------------------------------------------------------------------
+
+
+def delta_vectors_sql(d: str, table: str = "embeddings") -> str:
+    """The arriving batch: scaled copies (cosine-invariant ×1.01) of
+    every 10th stored vector at +100000 — each MUST land in its
+    source's cell — plus sign-flipped copies of every 25th at +200000
+    (maximally far: lands wherever the antipode is nearest)."""
+    scale = (
+        "transform(embedding, x -> CAST(x * CAST(1.01 AS FLOAT) AS FLOAT))"
+        if d == S
+        else "list_transform(embedding, x -> CAST(x * CAST(1.01 AS FLOAT) AS FLOAT))"
+    )
+    neg = (
+        "transform(embedding, x -> CAST(-x AS FLOAT))"
+        if d == S
+        else "list_transform(embedding, x -> CAST(-x AS FLOAT))"
+    )
+    return (
+        f"SELECT vec_id + 100000 AS vec_id, {scale} AS embedding "
+        f"FROM {table} WHERE vec_id % 10 = 0 "
+        f"UNION ALL "
+        f"SELECT vec_id + 200000 AS vec_id, {neg} AS embedding "
+        f"FROM {table} WHERE vec_id % 25 = 0"
+    )
+
+
+def ivf_assign_delta(delta: DataFrame, centroids) -> DataFrame:
+    """(vec_id, cell, centroid_cos r6) for an ARRIVING batch against a
+    STORED index — incremental maintenance: the corpus that trained
+    the index is never rescanned and the index is never retrained;
+    only the delta pays the one BLAS assignment pass (zero shuffle).
+    Re-centering drift is a separate, deliberate rebuild decision
+    (build_ivf_index), exactly as LanceDB treats compaction."""
+    cent_ids, cent_mat = centroids
+    a = _assign_cells(delta, cent_ids, cent_mat, n_probe=1, emit_ccos=True)
+    return a.select(
+        "vec_id", "cell", F.round("ccos", 6).alias("centroid_cos")
+    )
+
+
+def ivf_incremental_oracle_sql(d: str, table: str = "embeddings") -> str:
+    """Training CTEs over the STORED corpus, assignment over the
+    delta relation — the same split the engine performs."""
+    common = _ivf_common_ctes(
+        d,
+        n_probe=1,
+        table=table,
+        prelude=f"delta AS ({delta_vectors_sql(d, table)}),\n",
+        assign_table="delta",
+    )
+    return f"""
+{common}
+SELECT vec_id, centroid_id AS cell, round(ccos, 6) AS centroid_cos
+FROM ranked WHERE crank = 1
 """.strip()

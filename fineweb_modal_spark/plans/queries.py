@@ -3404,3 +3404,22 @@ def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "xd", "yd",
     ).select("doc_id", "zval")
+
+
+@register(
+    "ivf_incremental_assign",
+    similarity.ivf_incremental_oracle_sql(D),
+)
+def q_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance: an arriving vector batch is
+    assigned to the STORED IVF index (trained once on the existing
+    corpus) — the old corpus is never rescanned, the index never
+    retrained, and only the delta pays one zero-shuffle BLAS pass.
+    Planted contract: cosine-invariant scaled copies must land in
+    their source's cell. Oracle re-derives training over the stored
+    corpus and assignment over the delta relationally."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    centroids = similarity.train_ivf_centroids(emb)
+    delta = spark.sql(similarity.delta_vectors_sql(sd.SPARK))
+    return similarity.ivf_assign_delta(delta, centroids)

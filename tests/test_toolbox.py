@@ -793,3 +793,28 @@ def test_score_percentile_bounds_and_order(spark):
     hi = [r.pctl for r in out if r.score_ppm == max(x.score_ppm for x in out)]
     lo = [r.pctl for r in out if r.score_ppm == min(x.score_ppm for x in out)]
     assert min(hi) > max(lo)
+
+
+def test_ivf_incremental_scaled_copies_land_in_source_cell(spark):
+    """Cosine-invariant scaled copies of stored vectors must assign to
+    the SAME cell as their source under the stored centroids."""
+    from fineweb_modal_spark.functions import sqldialect as sd
+    from fineweb_modal_spark.operators import similarity
+    from fineweb_modal_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    cents = similarity.train_ivf_centroids(emb)
+    base = {
+        r.vec_id: r.cell
+        for r in similarity.ivf_assign_delta(emb, cents).collect()
+    }
+    delta = spark.sql(similarity.delta_vectors_sql(sd.SPARK))
+    inc = {
+        r.vec_id: r.cell
+        for r in similarity.ivf_assign_delta(delta, cents).collect()
+    }
+    scaled = {k: v for k, v in inc.items() if 100000 <= k < 200000}
+    assert scaled
+    for vid, cell in scaled.items():
+        assert cell == base[vid - 100000], vid
