@@ -294,3 +294,53 @@ FROM s
 ORDER BY chi2_e12 DESC, token ASC
 LIMIT {top_n}
 """.strip()
+
+
+def quality_transition(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(transition, n_urls): per-URL keep-bit transitions between two
+    snapshots (kept->kept, kept->dropped, dropped->kept,
+    dropped->dropped) — the report that separates 'the crawl got
+    worse' from 'the filter changed'. Each snapshot pays one battery
+    pass collapsed to (norm_url, keep); one key join; 4-row output."""
+    from . import quality
+
+    def keyed(df: DataFrame, tag: str) -> DataFrame:
+        k = quality.with_keep(quality.with_signals(urldedup.with_norm_url(df)))
+        return k.select("norm_url", F.col("keep").alias(f"{tag}_keep"))
+
+    j = keyed(old, "old").join(keyed(new, "new"), "norm_url")
+    return (
+        j.select(
+            F.concat(
+                F.when(F.col("old_keep"), F.lit("kept")).otherwise(F.lit("dropped")),
+                F.lit("->"),
+                F.when(F.col("new_keep"), F.lit("kept")).otherwise(F.lit("dropped")),
+            ).alias("transition")
+        )
+        .groupBy("transition")
+        .agg(F.count("*").alias("n_urls"))
+    )
+
+
+def quality_transition_oracle_sql(d: str, pages_select: str) -> str:
+    from . import quality
+
+    norm = urldedup.normalize_sql("url", d)
+    keep_old = quality.keep_sql(d, table="keyed_old", text_col="text",
+                                key_cols="norm_url")
+    keep_new = quality.keep_sql(d, table="keyed_new", text_col="text",
+                                key_cols="norm_url")
+    return f"""
+WITH pages AS ({pages_select}),
+new_snap AS ({new_snapshot_sql(d)}),
+keyed_old AS (SELECT {norm} AS norm_url, text FROM pages),
+keyed_new AS (SELECT {norm} AS norm_url, text FROM new_snap),
+o AS (SELECT norm_url, keep AS old_keep FROM ({keep_old})),
+n AS (SELECT norm_url, keep AS new_keep FROM ({keep_new}))
+SELECT (CASE WHEN old_keep THEN 'kept' ELSE 'dropped' END)
+       || '->' ||
+       (CASE WHEN new_keep THEN 'kept' ELSE 'dropped' END) AS transition,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM o JOIN n USING (norm_url)
+GROUP BY transition
+""".strip()

@@ -105,3 +105,59 @@ SELECT lang,
          AS inv_simpson
 FROM per_host GROUP BY lang
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Script-mismatch report: encoding/mojibake detection via char scripts
+# ---------------------------------------------------------------------------
+
+_CJK_PAT = "[一-鿿㐀-䶿]"  # same range the langid spec uses
+_LATIN_PAT = "[a-zA-Z]"
+CJK_MIN_FOR_ZH = 0.02  # claimed zh with less CJK than this -> mismatch
+# (fixture zh pages carry ~3.7% CJK marker mass; genuine zh passes)
+CJK_MAX_FOR_NON_ZH = 0.30  # claimed non-zh with more -> mismatch
+
+
+def _script_count(col: str, pat: str, d: str) -> str:
+    return f"(length({col}) - length({sd.regexp_replace_all(col, pat, '', d)}))"
+
+
+def script_report(pages: DataFrame) -> DataFrame:
+    """(doc_id, lang, cjk_ratio r6, latin_ratio r6, script_mismatch):
+    character-script composition vs the claimed language — the cheap
+    detector for mojibake, mislabeled metadata, and double-encoded
+    text that no token-level rule sees. Pure codegen (two char-class
+    deletion counts per row), zero shuffle."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    ln = F.length(text)
+    cjk = F.expr(_script_count("text", _CJK_PAT, S))
+    lat = F.expr(_script_count("text", _LATIN_PAT, S))
+    cjk_r = F.when(ln > 0, cjk.cast("double") / ln).otherwise(F.lit(0.0))
+    lat_r = F.when(ln > 0, lat.cast("double") / ln).otherwise(F.lit(0.0))
+    mismatch = F.when(
+        F.col("lang") == "zh", cjk_r < F.lit(CJK_MIN_FOR_ZH)
+    ).otherwise(cjk_r > F.lit(CJK_MAX_FOR_NON_ZH))
+    return pages.select(
+        "doc_id",
+        "lang",
+        F.round(cjk_r, 6).alias("cjk_ratio"),
+        F.round(lat_r, 6).alias("latin_ratio"),
+        mismatch.alias("script_mismatch"),
+    )
+
+
+def script_report_sql(d: str, pages_select: str) -> str:
+    cjk = _script_count("text", _CJK_PAT, d)
+    lat = _script_count("text", _LATIN_PAT, d)
+    cjk_r = f"CASE WHEN length(text) > 0 THEN CAST({cjk} AS DOUBLE) / length(text) ELSE 0.0 END"
+    lat_r = f"CASE WHEN length(text) > 0 THEN CAST({lat} AS DOUBLE) / length(text) ELSE 0.0 END"
+    return f"""
+WITH pages AS ({pages_select}),
+coalesced AS (SELECT doc_id, lang, coalesce(text, '') AS text FROM pages)
+SELECT doc_id, lang,
+       round({cjk_r}, 6) AS cjk_ratio,
+       round({lat_r}, 6) AS latin_ratio,
+       CASE WHEN lang = 'zh' THEN ({cjk_r}) < {CJK_MIN_FOR_ZH}
+            ELSE ({cjk_r}) > {CJK_MAX_FOR_NON_ZH} END AS script_mismatch
+FROM coalesced
+""".strip()

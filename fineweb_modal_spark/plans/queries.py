@@ -3423,3 +3423,53 @@ def q_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = similarity.train_ivf_centroids(emb)
     delta = spark.sql(similarity.delta_vectors_sql(sd.SPARK))
     return similarity.ivf_assign_delta(delta, centroids)
+
+
+def _mojibake_feed_sql(d: str, pages: str = "pages") -> str:
+    """pages ∪ a planted mislabel cohort: every 31st doc re-labeled
+    'zh' with its (latin) text intact — claimed zh, no CJK."""
+    return (
+        f"SELECT doc_id, lang, text FROM {pages} "
+        f"UNION ALL "
+        f"SELECT doc_id + 8000000 AS doc_id, 'zh' AS lang, text "
+        f"FROM {pages} WHERE doc_id % 31 = 0 AND lang <> 'zh'"
+    )
+
+
+_SCRIPT_ORACLE = textstats.script_report_sql(
+    D, _mojibake_feed_sql(
+        sd.DUCKDB,
+        f"({pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)})",
+    ),
+)
+
+
+@register("script_mismatch_report", _SCRIPT_ORACLE)
+def q_script_mismatch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-script composition vs claimed language — the cheap
+    mojibake/mislabel detector token rules can't see. Planted cohort:
+    latin docs re-labeled 'zh' must flag; genuine zh (CJK marker mass
+    above the floor) must not. Two char-class deletion counts per row,
+    pure codegen, zero shuffle."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    p.createOrReplaceTempView("pages_script")
+    feed = spark.sql(_mojibake_feed_sql(sd.SPARK, "pages_script"))
+    return textstats.script_report(feed)
+
+
+@register(
+    "quality_transition",
+    crawldiff_op.quality_transition_oracle_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_quality_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL keep-bit transitions between two snapshots (kept->kept,
+    kept->dropped, ...) — the ops report that separates 'the crawl got
+    worse' from 'the filter changed'. One battery pass per snapshot
+    collapsed to (norm_url, keep), one key join, 4-row output."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    p.createOrReplaceTempView("pages_qt")
+    new_snap = spark.sql(crawldiff_op.new_snapshot_sql(sd.SPARK, "pages_qt"))
+    old = p.select("doc_id", "url", "text")
+    return crawldiff_op.quality_transition(old, new_snap)

@@ -110,3 +110,41 @@ def test_token_drift_identity_is_zero(spark):
         assert r.old_cnt == r.new_cnt
         assert r.chi2_e12 == 0
         assert r.tv_e12 == 0
+
+
+def test_quality_transition_detects_flips(spark):
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "far away to the old house by the sea where all of them rest"
+    )
+    bad = "00 11 22 33 44 55 66 77 88 99"
+    old = spark.createDataFrame(
+        [(1, "https://a.example/1", good), (2, "https://a.example/2", bad)],
+        "doc_id long, url string, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "https://a.example/1", bad), (2, "https://a.example/2", good)],
+        "doc_id long, url string, text string",
+    )
+    out = {r.transition: r.n_urls for r in crawldiff.quality_transition(old, new).collect()}
+    assert out == {"kept->dropped": 1, "dropped->kept": 1}
+
+
+def test_script_report_flags_mislabel(spark):
+    from fineweb_modal_spark.operators import textstats
+
+    pages = spark.createDataFrame(
+        [
+            (1, "zh", "的 是 在 了 我 有 " * 3),       # genuine zh
+            (2, "zh", "pure latin text only here"),   # mislabeled -> flag
+            (3, "en", "pure latin text only here"),   # fine
+            (4, "en", "的的的的的的的的的的"),          # CJK under en -> flag
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.doc_id: r for r in textstats.script_report(pages).collect()}
+    assert not out[1].script_mismatch
+    assert out[2].script_mismatch
+    assert not out[3].script_mismatch
+    assert out[4].script_mismatch
+    assert out[4].cjk_ratio == 1.0
