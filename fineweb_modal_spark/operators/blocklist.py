@@ -263,3 +263,104 @@ SELECT host, n_docs, n_keep,
              / (CAST(n_docs AS DOUBLE) + {m}), 6) AS reputation
 FROM g CROSS JOIN tot
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Robots-style path rules + per-host crawl budget (frontier compliance)
+# ---------------------------------------------------------------------------
+
+
+def robots_rules_sql(d: str) -> str:
+    """Deterministic stand-in rule table: (host, path_prefix) disallow
+    pairs — h1 blocks /p/1 (prefix hits /p/1, /p/10..19, /p/100...),
+    h2 blocks everything (/), h3 blocks a path that never matches."""
+    return (
+        "SELECT * FROM (VALUES "
+        "('h1.example.com', '/p/1'), "
+        "('h2.example.com', '/'), "
+        "('h3.example.com', '/never/')"
+        ") AS r(r_host, r_prefix)"
+    )
+
+
+def robots_filter(pages: DataFrame, rules: DataFrame) -> DataFrame:
+    """Drop pages matching any (host, path-prefix) disallow rule — the
+    robots/compliance primitive every crawler-side pipeline runs.
+
+    Plan: broadcast the (tiny, per-host) rule table, LEFT ANTI on
+    host-equality + starts_with — the corpus never shuffles; rule
+    evaluation is row-local against the broadcast side. Path is
+    extracted once, codegen-side."""
+    p = with_host(pages).withColumn(
+        "__path", F.regexp_extract("url", r"https?://[^/]+(/[^?#]*)", 1)
+    )
+    cond = (F.col("host") == F.col("r_host")) & F.col("__path").startswith(
+        F.col("r_prefix")
+    )
+    return p.join(F.broadcast(rules), cond, "left_anti").drop("__path")
+
+
+def robots_filter_oracle_sql(d: str, pages_select: str) -> str:
+    return f"""
+WITH pages AS ({pages_select}),
+rules AS ({robots_rules_sql(d)}),
+hosted AS (
+  SELECT doc_id, url, {host_sql("url", d)} AS host,
+         regexp_extract(url, 'https?://[^/]+(/[^?#]*)', 1) AS path
+  FROM pages
+)
+SELECT doc_id, host
+FROM hosted h
+WHERE NOT EXISTS (
+  SELECT 1 FROM rules r
+  WHERE h.host = r.r_host AND starts_with(h.path, r.r_prefix)
+)
+""".strip()
+
+
+CRAWL_BUDGET = 20  # max pages admitted per host per hour
+
+
+def crawl_budget_enforce(pages: DataFrame, budget: int = CRAWL_BUDGET) -> DataFrame:
+    """(doc_id, host, hour, rk, admitted): politeness/budget quota —
+    at most `budget` pages per host per hour window, earliest captures
+    win (warc_ts then doc_id order). rank<=k per (host, hour) runs as
+    WindowGroupLimit partial top-k, so only ~budget rows per group per
+    map task cross the shuffle — the frontier stays host-fair even
+    when one host floods a dump."""
+    from pyspark.sql import Window
+
+    p = with_host(pages).withColumn(
+        "hour", F.date_trunc("hour", F.col("warc_ts"))
+    )
+    w = Window.partitionBy("host", "hour").orderBy(
+        F.col("warc_ts").asc(), F.col("doc_id").asc()
+    )
+    return p.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id",
+        "host",
+        "hour",
+        F.col("rk").cast("bigint").alias("rk"),
+        (F.col("rk") <= budget).alias("admitted"),
+    )
+
+
+def crawl_budget_oracle_sql(
+    d: str, pages_select: str, budget: int = CRAWL_BUDGET
+) -> str:
+    return f"""
+WITH pages AS ({pages_select}),
+hosted AS (
+  SELECT doc_id, warc_ts, {host_sql("url", d)} AS host,
+         date_trunc('hour', warc_ts) AS hour
+  FROM pages
+)
+SELECT doc_id, host, hour,
+       CAST(row_number() OVER (
+         PARTITION BY host, hour ORDER BY warc_ts ASC, doc_id ASC
+       ) AS BIGINT) AS rk,
+       row_number() OVER (
+         PARTITION BY host, hour ORDER BY warc_ts ASC, doc_id ASC
+       ) <= {budget} AS admitted
+FROM hosted
+""".strip()

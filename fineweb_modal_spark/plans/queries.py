@@ -3473,3 +3473,35 @@ def q_quality_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_snap = spark.sql(crawldiff_op.new_snapshot_sql(sd.SPARK, "pages_qt"))
     old = p.select("doc_id", "url", "text")
     return crawldiff_op.quality_transition(old, new_snap)
+
+
+@register(
+    "robots_rules_filter",
+    blocklist_op.robots_filter_oracle_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_robots_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-style compliance filter: drop pages matching any
+    (host, path-prefix) disallow rule — broadcast rule dimension,
+    LEFT ANTI on host equality + starts_with; the corpus never
+    shuffles. Planted rules: h2 blocks everything, h1 blocks the
+    /p/1 prefix family."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    rules = spark.sql(blocklist_op.robots_rules_sql(sd.SPARK))
+    return blocklist_op.robots_filter(p, rules).select("doc_id", "host")
+
+
+@register(
+    "crawl_budget_enforce",
+    blocklist_op.crawl_budget_oracle_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_crawl_budget_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness quota: at most 20 pages admitted per host
+    per hour, earliest captures first — WindowGroupLimit keeps a
+    partial top-k per map task, so the h0 volume skew (1/3 of the
+    corpus on one host) stays bounded at the shuffle."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    return blocklist_op.crawl_budget_enforce(p)

@@ -153,3 +153,49 @@ def test_host_reputation_shrinkage(spark):
     assert abs(big.reputation - big.raw_rate) < abs(
         tiny.reputation - tiny.raw_rate
     )
+
+
+def test_robots_filter_prefix_semantics(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, "https://h1.example.com/p/1"),
+            (2, "https://h1.example.com/p/19"),   # /p/1 prefix -> blocked
+            (3, "https://h1.example.com/p/2"),    # survives
+            (4, "https://h2.example.com/p/7"),    # blocked entirely
+            (5, "https://h9.example.com/p/1"),    # no rule -> survives
+        ],
+        "doc_id long, url string",
+    )
+    rules = spark.createDataFrame(
+        [("h1.example.com", "/p/1"), ("h2.example.com", "/")],
+        "r_host string, r_prefix string",
+    )
+    out = {r.doc_id for r in blocklist.robots_filter(pages, rules).collect()}
+    assert out == {3, 5}
+
+
+def test_crawl_budget_caps_flooding_host(spark):
+    import datetime
+
+    rows = [
+        (i, f"https://flood.example.com/p/{i}",
+         datetime.datetime(2024, 1, 1, 0, 0, i % 60))
+        for i in range(50)
+    ] + [
+        (100 + i, f"https://calm.example.com/p/{i}",
+         datetime.datetime(2024, 1, 1, 0, 0, i))
+        for i in range(5)
+    ]
+    pages = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts timestamp"
+    )
+    out = blocklist.crawl_budget_enforce(pages, budget=20).collect()
+    admitted = [r for r in out if r.admitted]
+    by_host = {}
+    for r in admitted:
+        by_host.setdefault(r.host, []).append(r)
+    assert len(by_host["flood.example.com"]) == 20  # capped
+    assert len(by_host["calm.example.com"]) == 5    # under budget
+    # earliest captures win
+    flood_rks = sorted(r.rk for r in by_host["flood.example.com"])
+    assert flood_rks == list(range(1, 21))
