@@ -1,0 +1,78 @@
+"""Plan-shape regression guards for the newest toolbox operators —
+the scale contracts (zero shuffle / broadcast-only / no Python nodes)
+that correctness hashes cannot see."""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_robots_filter_is_broadcast_anti_no_shuffle(spark):
+    from fineweb_modal_spark.operators import blocklist
+
+    pages = spark.createDataFrame(
+        [(1, "https://h1.example.com/p/1")], "doc_id long, url string"
+    )
+    rules = spark.createDataFrame(
+        [("h1.example.com", "/p/1")], "r_host string, r_prefix string"
+    )
+    plan = _plan(blocklist.robots_filter(pages, rules))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:1500]
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+
+
+def test_upsample_is_broadcast_no_shuffle(spark):
+    from fineweb_modal_spark.operators import mixture
+
+    docs = spark.createDataFrame(
+        [(1, "src0")], "doc_id long, source string"
+    )
+    rates = spark.createDataFrame(
+        [("src0", 2500)], "source string, rate_num int"
+    )
+    plan = _plan(mixture.upsample(docs, rates))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+
+
+def test_semantic_decontaminate_zero_shuffle_zero_python(spark):
+    from fineweb_modal_spark.operators import decontam
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    bench = emb.where("vec_id % 41 = 0")
+    plan = _plan(decontam.semantic_decontaminate(emb, bench))
+    assert "Exchange" not in plan, plan[:1500]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in plan, plan[:1500]
+
+
+def test_anchor_index_single_count_shuffle_before_window(spark):
+    from fineweb_modal_spark.functions import sqldialect as sd
+    from fineweb_modal_spark.operators import linkgraph
+
+    pages = spark.createDataFrame(
+        [(1, "https://h1.example.com/p/1")], "doc_id long, url string"
+    )
+    pages.createOrReplaceTempView("pages_ps_anchor")
+    linked = spark.sql(linkgraph.linked_pages_sql(sd.SPARK, "pages_ps_anchor"))
+    plan = _plan(linkgraph.anchor_text_index(linked))
+    # no Python nodes anywhere; extraction + zip stay codegen
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan[:1500]
+    # WindowGroupLimit partial ranking present (rank<=k pushed map-side)
+    assert "WindowGroupLimit" in plan, plan[:1500]
+
+
+def test_quota_sampler_uses_window_group_limit(spark):
+    from fineweb_modal_spark.plans import queries as Q
+
+    df = Q.queries()["quota_sample_per_lang"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan, plan[:1500]
