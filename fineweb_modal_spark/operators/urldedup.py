@@ -9,10 +9,15 @@ the expensive MinHash/embedding passes.
 Normalization spec (applied in order, mirrored in `normalize_py` for
 pytest and rendered for both SQL dialects):
   1. lowercase
-  2. strip leading http:// or https://
-  3. strip leading www.
-  4. drop everything from the first '?' or '#' (query/fragment)
-  5. strip trailing slashes
+  2. strip the maximal leading run of scheme/www prefixes — the
+     repeated alternation ((https?://)|(www\\.))+ so degenerate
+     spellings like "www.www." or "http://www.http://" still reach a
+     fixed point in one pass (plain sequential stripping is NOT
+     idempotent on those; found by the hypothesis property test)
+  3. drop everything from the first '?' or '#' (query/fragment) —
+     [\\s\\S]* not .* so a newline smuggled into the query string
+     (crawler garbage) can't survive the cut
+  4. strip trailing slashes
 """
 
 from __future__ import annotations
@@ -30,9 +35,8 @@ S, D = sd.SPARK, sd.DUCKDB
 def normalize_sql(col: str, d: str) -> str:
     e = f"lower({col})"
     for pat, repl in (
-        (r"^https?://", ""),
-        (r"^www\.", ""),
-        (r"[?#].*$", ""),
+        (r"^((https?://)|(www\.))+", ""),
+        (r"[?#][\s\S]*", ""),
         (r"/+$", ""),
     ):
         e = sd.regexp_replace_all(e, pat, repl, d)
@@ -41,9 +45,8 @@ def normalize_sql(col: str, d: str) -> str:
 
 def normalize_py(url: str) -> str:
     e = (url or "").lower()
-    e = re.sub(r"^https?://", "", e)
-    e = re.sub(r"^www\.", "", e)
-    e = re.sub(r"[?#].*$", "", e)
+    e = re.sub(r"^((https?://)|(www\.))+", "", e)
+    e = re.sub(r"[?#][\s\S]*", "", e)
     return re.sub(r"/+$", "", e)
 
 

@@ -3505,3 +3505,7 @@ def q_crawl_budget_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus on one host) stays bounded at the shuffle."""
     p = pages_mod.load_pages(spark, sf_dir, with_html=False)
     return blocklist_op.crawl_budget_enforce(p)
+
+
+# Extended TPC-H suite (q4–q22) registers itself on import — keep last.
+from . import tpch  # noqa: E402,F401

@@ -8,7 +8,7 @@ test_spec_oracles.py prove the transfer itself).
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from fineweb_modal_spark.spec import embed_model, langid_model, scrub_spec
@@ -147,6 +147,10 @@ def test_gopher_signal_ranges_and_consistency(text):
 
 @given(_text)
 @settings(max_examples=200, deadline=None)
+@example("?\n0")  # newline inside the query string (regex . stops at \n)
+@example("www.www.example.com")  # repeated prefix needs one-pass fixed point
+@example("www.http://example.com")  # interleaved www./scheme prefixes
+@example("https://https://example.com")
 def test_url_normalize_idempotent_and_stable(url):
     from fineweb_modal_spark.operators.urldedup import normalize_py
 
@@ -154,7 +158,7 @@ def test_url_normalize_idempotent_and_stable(url):
     assert normalize_py(once) == once  # idempotent
     assert "?" not in once and "#" not in once
     assert not once.endswith("/")
-    assert not once.startswith(("http://", "https://"))
+    assert not once.startswith(("http://", "https://", "www."))
 
 
 @given(st.lists(st.text(alphabet="ab ", min_size=1, max_size=3), min_size=0, max_size=30))

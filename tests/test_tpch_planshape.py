@@ -52,3 +52,49 @@ def test_q18_semi_join_single_self_scan(spark):
         "lineitem.parquet"
     )
     assert n_lineitem_scans <= 2, (n_lineitem_scans, plan[:2000])
+
+
+def test_q4_exists_is_semi_join(spark):
+    plan = _plan(QUERIES["tpch_q4_order_priority"](spark, SF))
+    assert "LeftSemi" in plan, plan[:2000]
+    # the quarter predicate reaches the orders scan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_q8_fact_never_shuffles_before_agg(spark):
+    """All seven dims broadcast: the only exchange in the plan is the
+    final single-partition gather for the year rollup."""
+    plan = _plan(QUERIES["tpch_q8_market_share"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 6, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_q17_correlated_avg_is_window_not_self_join(spark):
+    """The per-part avg threshold must be a window (one lineitem
+    scan), not the naive rewrite's second scan + self-join."""
+    plan = _plan(QUERIES["tpch_q17_small_quantity"](spark, SF))
+    assert "Window" in plan, plan[:2000]
+    n_lineitem_scans = plan.count("lineitem.parquet")
+    assert n_lineitem_scans <= 1, (n_lineitem_scans, plan[:2000])
+
+
+def test_q21_semi_and_anti_self_joins(spark):
+    plan = _plan(QUERIES["tpch_q21_waiting_supplier"](spark, SF))
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark):
+    plan = _plan(QUERIES["tpch_q22_sales_opportunity"](spark, SF))
+    assert "LeftAnti" in plan, plan[:2000]
+    # the global-avg scalar arrives by broadcast, never a shuffle of base
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_q19_part_side_prefilter_reaches_scan(spark):
+    """The hoisted part-only implication of the OR must prune the
+    broadcast build side at its scan (brand IN-set pushed)."""
+    plan = _plan(QUERIES["tpch_q19_discounted_revenue"](spark, SF))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("p_brand" in p for p in pushed), pushed
