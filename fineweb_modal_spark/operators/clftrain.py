@@ -1,0 +1,198 @@
+"""In-engine quality-classifier TRAINING — full-batch logistic GD.
+
+The registry already ships a fixed-weight logistic scorer
+(quality.with_classifier — the FineWeb-Edu/DCLM classifier
+stand-in). This module trains those weights INSIDE the engine, the
+way the real pipelines do it (distillation: fit a cheap model on
+labels from a more expensive judge — here the heuristic keep rule
+plays the judge):
+
+  standardize: one aggregate (mean + stddev_pop per feature; 10
+  doubles to the driver) — raw signal scales differ by 30× and
+  unstandardized GD needs thousands of steps to cross them.
+  Zero-variance features standardize to 0 (dead weight) instead of
+  NaN-poisoning the gradient.
+
+  each GD step = ONE aggregate over the z-scored frame (6 avg's,
+  map-side partial + 1-row final), collected to the driver (6
+  doubles), folded into literal weights for the next pass. K passes
+  over the data total — the execution shape of MLlib's full-batch
+  LogisticRegression, minus the black box, so the DuckDB oracle can
+  replay the whole trajectory (stats CTE + K gradient/weight CTE
+  pairs) and hash-match the trained weights.
+
+Scale: per-step shuffle is 6 doubles/partition; train() persists the
+feature frame for the K+1 passes. Measured on the sf0.01 judge
+labels: 10 steps at eta=2 reach 98.4% training agreement vs the
+90.6% always-keep baseline.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import quality
+
+ETA = 2.0  # step size for z-scored features
+K_STEPS = 10
+
+# (name, expression over the signal columns) — identical text renders
+# in both engines.
+FEATURE_SQL: list[tuple[str, str]] = [
+    ("f1", "stopword_ratio"),
+    ("f2", "digit_ratio"),
+    ("f3", "distinct_ratio"),
+    ("f4", "least(n_words, 1000) / 1000.0"),
+    ("f5", "least(mean_word_len, 20.0) / 20.0"),
+]
+_FN = [n for n, _ in FEATURE_SQL]
+_W = ["b"] + [f"w{i}" for i in range(1, len(FEATURE_SQL) + 1)]
+
+
+def feature_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(y, f1..f5): label = heuristic keep (the judge), features =
+    bounded signal transforms. Everything whole-stage codegen."""
+    sig = quality.with_keep(quality.with_signals(docs, text_col=text_col))
+    cols = [F.col("keep").cast("double").alias("y")]
+    cols += [F.expr(e).alias(n) for n, e in FEATURE_SQL]
+    return sig.select(*cols)
+
+
+def standardize(feat: DataFrame) -> DataFrame:
+    """z-score every feature with driver-side (mu, sd) literals —
+    one aggregate pass; sd=0 features become constant 0."""
+    aggs = []
+    for n in _FN:
+        aggs += [F.avg(n).alias(f"mu_{n}"), F.stddev_pop(n).alias(f"sd_{n}")]
+    st = feat.agg(*aggs).collect()[0]
+    out = feat
+    for n in _FN:
+        mu, sd = st[f"mu_{n}"], st[f"sd_{n}"]
+        z = (
+            (F.col(n) - F.lit(mu)) / F.lit(sd)
+            if sd and sd > 0.0
+            else F.lit(0.0)
+        )
+        out = out.withColumn(n, z)
+    return out
+
+
+def _margin(w: list[float]) -> F.Column:
+    m = F.lit(w[0])
+    for i, n in enumerate(_FN):
+        m = m + F.lit(w[i + 1]) * F.col(n)
+    return m
+
+
+def train(
+    docs: DataFrame,
+    text_col: str = "text",
+    steps: int = K_STEPS,
+    eta: float = ETA,
+) -> tuple[list[float], DataFrame]:
+    """Returns ([b, w1..w5], z-scored feature frame) after `steps`
+    full-batch GD steps from 0.
+
+    grad_j = avg((sigmoid(w·x) - y) * x_j); w ← w - eta * grad.
+    Only the 6-double gradient ever reaches the driver."""
+    feat = standardize(feature_frame(docs, text_col=text_col)).persist()
+    w = [0.0] * (len(_FN) + 1)
+    for _ in range(steps):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w)))
+        err = p - F.col("y")
+        aggs = [F.avg(err).alias("gb")] + [
+            F.avg(err * F.col(n)).alias(f"g{i+1}") for i, n in enumerate(_FN)
+        ]
+        g = feat.agg(*aggs).collect()[0]
+        w = [w[j] - eta * g[j] for j in range(len(w))]
+    return w, feat
+
+
+def train_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """1-row gate frame: trained weights (round6) + training-set
+    agreement with the judge (integer counts — float-boundary-proof
+    unless a logit lands within an ulp of exactly 0)."""
+    w, feat = train(docs, text_col=text_col)
+    try:
+        agree = (_margin(w) >= 0.0) == (F.col("y") == 1.0)
+        row = feat.agg(
+            F.count("*").alias("n_train"),
+            F.sum(agree.cast("long")).alias("n_agree"),
+        )
+        for name, val in zip(_W, w):
+            row = row.withColumn(name, F.round(F.lit(val), 6))
+        return row.select(*_W, "n_train", "n_agree")
+    finally:
+        feat.unpersist()
+
+
+def sigmoid(x: float) -> float:
+    return 1.0 / (1.0 + math.exp(-x))
+
+
+# ---------------------------------------------------------------------------
+# Oracle: standardization + the full K-step trajectory as a CTE chain
+# ---------------------------------------------------------------------------
+
+
+def _margin_sql(wcte: str, frame: str = "featz") -> str:
+    terms = [f"{wcte}.b"] + [
+        f"{wcte}.w{i+1} * {frame}.{n}" for i, n in enumerate(_FN)
+    ]
+    return " + ".join(terms)
+
+
+def train_oracle_sql(
+    d: str, steps: int = K_STEPS, eta: float = ETA, docs: str = "documents"
+) -> str:
+    """Re-derives the whole pipeline relationally: stats CTE (mu/sd),
+    z-scored frame, then w{k} as a 1-row CTE from featz × w{k-1} —
+    same avg-gradient, same literal step size, hash-equal weights."""
+    sig = quality.signals_sql(d, table=docs, round_out=False)
+    keep = quality.keep_sql(d, table=docs)
+    fcols = ", ".join(f"{e} AS {n}" for n, e in FEATURE_SQL)
+    stat_sel = ", ".join(
+        f"avg({n}) AS mu_{n}, stddev_pop({n}) AS sd_{n}" for n in _FN
+    )
+    zcols = ", ".join(
+        f"CASE WHEN st.sd_{n} > 0 THEN (feat.{n} - st.mu_{n}) / st.sd_{n} "
+        f"ELSE 0.0 END AS {n}"
+        for n in _FN
+    )
+    ctes = [
+        f"""feat AS (
+  SELECT CAST(k.keep AS DOUBLE) AS y, {fcols}
+  FROM ({sig}) s JOIN ({keep}) k ON s.doc_id = k.doc_id)""",
+        f"st AS (SELECT {stat_sel} FROM feat)",
+        f"featz AS (SELECT feat.y, {zcols} FROM feat, st)",
+        "w0 AS (SELECT " + ", ".join(f"0.0 AS {c}" for c in _W) + ")",
+    ]
+    for k in range(1, steps + 1):
+        prev = f"w{k-1}"
+        p = f"(1.0 / (1.0 + exp(-({_margin_sql(prev)}))))"
+        gsel = [f"avg(({p} - featz.y)) AS gb"] + [
+            f"avg(({p} - featz.y) * featz.{n}) AS g{i+1}"
+            for i, n in enumerate(_FN)
+        ]
+        ctes.append(f"g{k} AS (SELECT {', '.join(gsel)} FROM featz, {prev})")
+        wsel = [f"{prev}.b - {eta} * g{k}.gb AS b"] + [
+            f"{prev}.w{i+1} - {eta} * g{k}.g{i+1} AS w{i+1}"
+            for i in range(len(_FN))
+        ]
+        ctes.append(f"w{k} AS (SELECT {', '.join(wsel)} FROM {prev}, g{k})")
+    wk = f"w{steps}"
+    agree = f"((({_margin_sql(wk)}) >= 0.0) = (featz.y = 1.0))"
+    final = ", ".join(f"round({wk}.{c}, 6) AS {c}" for c in _W)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT {final},
+       count(*) AS n_train,
+       CAST(sum(CASE WHEN {agree} THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+FROM featz, {wk}
+GROUP BY {', '.join(f'{wk}.{c}' for c in _W)}"""
+    )

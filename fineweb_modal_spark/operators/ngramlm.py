@@ -1,0 +1,224 @@
+"""Trained word-bigram LM with stupid backoff — corpus-fit perplexity.
+
+The pipeline's existing perplexity stage (operators/perplexity.py)
+scores against a FIXED char-bigram table shipped with the repo (the
+hermetic stand-in for the reference's KenLM model, features.py
+analog). This module adds the other half a real data pipeline needs:
+TRAIN the n-gram model on the corpus itself (CCNet/KenLM practice —
+fit on a high-quality slice, score everything, drop the tail), as
+pure relational algebra:
+
+  train:  tokens → unigram counts (1 shuffle) → bigram counts
+          (1 shuffle); both two-phase partial aggs. The model is the
+          pair of count relations — no driver-side materialization.
+  score:  explode doc bigrams → broadcast-join model → per-doc avg
+          log-prob (1 shuffle on doc_id). Stupid backoff
+          (Brants et al. 2007, "Large Language Models in Machine
+          Translation"): S(w2|w1) = c12/c1 if the bigram was seen,
+          else ALPHA * c(w2)/N, else ALPHA/N for OOV.
+
+Scale: min-count pruning bounds the broadcast model (a 100-TB corpus
+has ~1e8 bigram types above count 5 — if that exceeds the broadcast
+budget, pass broadcast_model=False and the joins become shuffle hash
+joins on the token keys; the plan stays otherwise identical). Log is
+applied to EXACT integer-ratio doubles, so Spark and DuckDB agree to
+the last ulp before the 6-dp gate rounding.
+
+Only ln() sits between counts and the gate hash — no trained-weight
+tables, so the oracle re-derives the ENTIRE model relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import sqldialect as sd
+
+S, D = sd.SPARK, sd.DUCKDB
+
+ALPHA = 0.4  # stupid-backoff discount
+MIN_BIGRAM_COUNT = 3  # bigram types below this back off to unigram
+MIN_UNIGRAM_COUNT = 2  # vocab floor: rarer tokens are OOV
+
+
+def _toks_expr(text_col: str) -> F.Column:
+    return F.expr(sd.ws_tokens(f"lower({text_col})", S))
+
+
+def _nonblank(text_col: str) -> F.Column:
+    return F.length(F.expr(sd.ws_trim(f"lower({text_col})", S))) > 0
+
+
+def with_tokens(
+    docs: DataFrame, text_col: str = "text", keep_blank: bool = False
+) -> DataFrame:
+    """doc_id + lowercase whitespace token array. With keep_blank,
+    blank docs carry an EMPTY array instead of being dropped (split
+    of '' would yield the spurious ['']) — that lets the scoring path
+    keep every doc without a re-join at the end."""
+    if keep_blank:
+        toks = F.when(_nonblank(text_col), _toks_expr(text_col)).otherwise(
+            F.expr("array()").cast("array<string>")
+        )
+        return docs.select("doc_id", toks.alias("toks"))
+    return docs.where(_nonblank(text_col)).select(
+        "doc_id", _toks_expr(text_col).alias("toks")
+    )
+
+
+def with_bigrams(toked: DataFrame) -> DataFrame:
+    """One row per bigram OCCURRENCE — built row-locally (no shuffle)
+    with an indexed transform; a 1-token doc yields slice(...,1,0) =
+    an empty array, so it simply contributes nothing."""
+    return toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks)-1, 0)), "
+                "(w, i) -> struct(w AS w1, element_at(toks, i+2) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+
+
+def train_unigrams(toked: DataFrame, min_count: int = MIN_UNIGRAM_COUNT) -> DataFrame:
+    """(tok, c1) vocabulary with count floor — two-phase agg."""
+    return (
+        toked.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+        .where(F.col("c1") >= min_count)
+    )
+
+
+def train_bigrams(
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    min_count: int = MIN_BIGRAM_COUNT,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """(w1, w2, c12, c1, logprob): the conditional table. The c1
+    denominator is the raw unigram count (stupid backoff uses
+    unnormalized ratios, not a proper distribution — that's the
+    point: no discount mass bookkeeping, embarrassingly parallel)."""
+    uni = unigrams.select(F.col("tok").alias("w1"), "c1")
+    if broadcast_model:
+        uni = F.broadcast(uni)
+    counts = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .where(F.col("c12") >= min_count)
+    )
+    return counts.join(uni, "w1").withColumn(
+        "logprob", F.log(F.col("c12") / F.col("c1"))
+    )
+
+
+def score_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Train on the corpus, score every doc: (doc_id, n_bigrams,
+    avg_lp, ppl). Docs with <2 tokens (or blank) carry n_bigrams=0
+    and NULL avg_lp/ppl — they have no bigram evidence either way.
+
+    ppl = exp(-avg_lp): lower is more fluent under the corpus's own
+    statistics; filtering on a high-ppl tail is the CCNet recipe."""
+    toked = with_tokens(docs, text_col, keep_blank=True)
+    uni = train_unigrams(toked)
+    # explode_outer keeps bigramless docs as a single NULL-bg row, so
+    # no end-of-plan corpus re-join (which would be a second full
+    # shuffle + sort-merge at scale) is ever needed.
+    occ = toked.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks)-1, 0)), "
+                "(w, i) -> struct(w AS w1, element_at(toks, i+2) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bg = occ.where(F.col("w1").isNotNull())
+    model = train_bigrams(bg, uni, broadcast_model=broadcast_model)
+    n_total = uni.agg(F.sum("c1").alias("n_total"))
+
+    uni_w2 = uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c1_w2"))
+    model_j = model.select("w1", "w2", "logprob")
+    if broadcast_model:
+        uni_w2, model_j = F.broadcast(uni_w2), F.broadcast(model_j)
+    lp = (
+        occ.join(model_j, ["w1", "w2"], "left_outer")
+        .join(uni_w2, "w2", "left_outer")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "lp",
+            F.when(
+                F.col("w1").isNotNull(),
+                F.coalesce(
+                    F.col("logprob"),
+                    F.log(F.lit(ALPHA) * F.col("c1_w2") / F.col("n_total")),
+                    F.log(F.lit(ALPHA) / F.col("n_total")),
+                ),
+            ),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count("w1").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_lp"),
+        F.round(F.exp(-F.avg("lp")), 6).alias("ppl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle renderings (DuckDB re-derives the full model from documents)
+# ---------------------------------------------------------------------------
+
+
+def _base_ctes(d: str, docs: str = "documents") -> str:
+    toks = sd.ws_tokens("lower(text)", d)
+    trim = sd.ws_trim("lower(text)", d)
+    return f"""
+toks AS (SELECT doc_id, {toks} AS t FROM {docs}
+         WHERE length({trim}) > 0),
+big AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)),
+uni AS (SELECT u.tok, count(*) AS c1
+        FROM toks, unnest(t) AS u(tok)
+        GROUP BY u.tok HAVING count(*) >= {MIN_UNIGRAM_COUNT})
+""".strip()
+
+
+def model_oracle_sql(d: str, docs: str = "documents") -> str:
+    return f"""
+WITH {_base_ctes(d, docs)}
+SELECT b.w1, b.w2, count(*) AS c12, any_value(u.c1) AS c1,
+       round(ln(count(*) / CAST(any_value(u.c1) AS DOUBLE)), 6) AS logprob
+FROM big b JOIN uni u ON b.w1 = u.tok
+GROUP BY b.w1, b.w2
+HAVING count(*) >= {MIN_BIGRAM_COUNT}
+""".strip()
+
+
+def score_oracle_sql(d: str, docs: str = "documents") -> str:
+    return f"""
+WITH {_base_ctes(d, docs)},
+model AS (SELECT b.w1, b.w2, ln(count(*) / CAST(any_value(u.c1) AS DOUBLE)) AS logprob
+          FROM big b JOIN uni u ON b.w1 = u.tok
+          GROUP BY b.w1, b.w2 HAVING count(*) >= {MIN_BIGRAM_COUNT}),
+n AS (SELECT sum(c1) AS n_total FROM uni),
+lp AS (SELECT b.doc_id,
+              coalesce(m.logprob,
+                       ln({ALPHA} * u2.c1 / (SELECT n_total FROM n)),
+                       ln({ALPHA} / (SELECT n_total FROM n))) AS lp
+       FROM big b
+       LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+       LEFT JOIN uni u2 ON b.w2 = u2.tok),
+scored AS (SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS avg_lp
+           FROM lp GROUP BY doc_id)
+SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+       round(s.avg_lp, 6) AS avg_lp,
+       round(exp(-s.avg_lp), 6) AS ppl
+FROM {docs} d LEFT JOIN scored s ON d.doc_id = s.doc_id
+""".strip()

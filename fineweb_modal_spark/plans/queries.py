@@ -3507,5 +3507,50 @@ def q_crawl_budget_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_op.crawl_budget_enforce(p)
 
 
+from ..operators import ngramlm as ngramlm_op  # noqa: E402
+
+
+@register("ngram_lm_model", ngramlm_op.model_oracle_sql(D))
+def q_ngram_lm_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-TRAINED bigram LM (vs the fixed spec table the
+    perplexity UDF ships): unigram + bigram counts are each one
+    two-phase agg; the conditional log-prob is ln() over an exact
+    integer ratio, so the DuckDB oracle re-derives the whole model
+    and hashes equal. Min-count pruning bounds the model for the
+    broadcast path at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = ngramlm_op.with_tokens(docs)
+    uni = ngramlm_op.train_unigrams(toked)
+    model = ngramlm_op.train_bigrams(ngramlm_op.with_bigrams(toked), uni)
+    return model.select(
+        "w1", "w2", "c12", "c1", F.round("logprob", 6).alias("logprob")
+    )
+
+
+@register("ngram_lm_perplexity", ngramlm_op.score_oracle_sql(D))
+def q_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff perplexity of every doc under the corpus's own
+    bigram statistics (the CCNet recipe: fit on the corpus, drop the
+    high-ppl tail). Model + vocab broadcast; the only fact shuffles
+    are the two training aggs and the per-doc rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngramlm_op.score_docs(docs)
+
+
+from ..operators import clftrain as clftrain_op  # noqa: E402
+
+
+@register("clf_train_gd", clftrain_op.train_oracle_sql(D))
+def q_clf_train_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier TRAINED in-engine: 5 full-batch logistic-GD steps
+    distilling the heuristic keep rule (judge) into bounded signal
+    features. Each step is one tree-aggregated 6-double gradient; the
+    oracle replays the identical trajectory as a CTE chain, so the
+    trained weights themselves are hash-gated — not just scores from
+    frozen weights."""
+    docs = load_table(spark, sf_dir, "documents")
+    return clftrain_op.train_report(docs)
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401

@@ -76,3 +76,21 @@ def test_quota_sampler_uses_window_group_limit(spark):
     df = Q.queries()["quota_sample_per_lang"](spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     assert "WindowGroupLimit" in plan, plan[:1500]
+
+
+def test_ngram_lm_scoring_joins_are_broadcast(spark):
+    """The model/vocab joins on the scoring path must be broadcast —
+    the only hashpartitioning exchanges allowed are the two training
+    aggs (tok; w1,w2) and the per-doc rollup (doc_id)."""
+    from fineweb_modal_spark.operators import ngramlm
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b")], "doc_id long, text string"
+    )
+    plan = _plan(ngramlm.score_docs(docs))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    import re
+
+    keys = re.findall(r"Exchange hashpartitioning\(([a-z_0-9#]+)", plan)
+    assert set(keys) <= {"tok", "w1", "doc_id"}, keys

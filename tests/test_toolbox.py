@@ -818,3 +818,55 @@ def test_ivf_incremental_scaled_copies_land_in_source_cell(spark):
     assert scaled
     for vid, cell in scaled.items():
         assert cell == base[vid - 100000], vid
+
+
+def test_ngram_lm_stupid_backoff_matches_hand_computation(spark):
+    """Tiny corpus where every branch of the backoff fires: seen
+    bigram, unseen-bigram-with-known-w2, and OOV w2."""
+    import math
+
+    from fineweb_modal_spark.operators import ngramlm
+
+    # min counts: unigram >= 2, bigram >= 3
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # c(a,b)=3 -> in model; c(b,a)=2 -> backoff
+            (2, "b b rare"),     # (b,b) c=1 -> backoff; (b,rare) -> OOV w2
+            (3, "  "),           # blank -> no bigrams
+            (4, "single"),       # 1 token -> no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ngramlm.score_docs(docs).collect()}
+    # vocab: a(3), b(5) pass min 2; rare/single c=1 drop. N = 8.
+    n = 8.0
+    lp_ab = math.log(3 / 3)  # c(a,b)=3 in model, c1(a)=3
+    lp_ba = math.log(0.4 * 3 / n)  # (b,a) c=2 < 3 -> backoff to c1(a)=3
+    lp_bb = math.log(0.4 * 5 / n)  # (b,b) c=1 -> backoff to c1(b)=5
+    lp_oov = math.log(0.4 / n)  # (b,rare): rare not in vocab
+    assert rows[1].n_bigrams == 5
+    exp1 = (3 * lp_ab + 2 * lp_ba) / 5
+    assert abs(rows[1].avg_lp - round(exp1, 6)) < 1e-6
+    assert abs(rows[1].ppl - round(math.exp(-exp1), 6)) < 1e-4
+    exp2 = (lp_bb + lp_oov) / 2
+    assert rows[2].n_bigrams == 2
+    assert abs(rows[2].avg_lp - round(exp2, 6)) < 1e-6
+    assert rows[3].n_bigrams == 0 and rows[3].avg_lp is None and rows[3].ppl is None
+    assert rows[4].n_bigrams == 0 and rows[4].avg_lp is None
+
+
+def test_clf_train_gd_learns_the_judge(spark):
+    """5 GD steps must beat the trivial always-keep predictor (w=0
+    predicts keep for every doc since sigmoid(0) >= 0.5)."""
+    from fineweb_modal_spark.operators import clftrain
+    from fineweb_modal_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base_keep = clftrain.feature_frame(docs).agg(
+        F.avg("y").alias("r")
+    ).collect()[0].r
+    row = clftrain.train_report(docs).collect()[0]
+    acc = row.n_agree / row.n_train
+    assert row.n_train == 500
+    assert acc > max(base_keep, 1 - base_keep), (acc, base_keep)
+    assert any(abs(row[c]) > 1e-6 for c in ("b", "w1", "w2", "w3", "w4", "w5"))
