@@ -361,7 +361,17 @@ def resolve_clusters(
     (`df.observe` counting label changes) — no separate compare join
     or count job per round.
     """
-    from pyspark.sql import Observation
+    # For the duration of the loop, let AQE coalesce purely by SIZE
+    # (parallelismFirst=false): label/edge rows are two longs, so the
+    # default parallelism-first policy pins every round's shuffles at
+    # full partition count and the iteration cost becomes pure
+    # stage-overhead (measured 3.6s -> ~1s at sf0.1). At real scale
+    # the advisory size (64 MiB) keeps partition counts high, so this
+    # is not a local-only tune.
+    spark = pairs.sparkSession
+    _PF = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    prev_pf = spark.conf.get(_PF, "true")
+    spark.conf.set(_PF, "false")
 
     edges = pairs.select(
         F.col("doc_a").cast("long").alias("src"),
@@ -375,60 +385,71 @@ def resolve_clusters(
         F.col("doc_id").cast("long").alias("label"),
     ).localCheckpoint()
     changed = None
-    for it in range(max_iters):
-        # (a) neighbor-min
-        prop = (
-            sym.join(labels, sym.src == labels.doc_id)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nmin"))
-        )
-        stepped = (
-            labels.join(prop, labels.doc_id == prop.dst, "left")
-            .select(
-                "doc_id",
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
+    try:
+        for it in range(max_iters):
+            changed = _cc_round(sym, labels, it)
+            if changed[0] == 0:
+                labels = changed[1]
+                break
+            labels = changed[1]
+        else:
+            # max_iters exhausted with labels still moving: the labels
+            # are NOT component minima — returning them would hand
+            # callers a wrong keeper mapping with no signal. With
+            # pointer jumping, max_iters=12 covers diameters up to
+            # ~2^12, so hitting this means a pathological graph, not a
+            # tuning issue.
+            raise RuntimeError(
+                f"resolve_clusters did not converge within {max_iters} "
+                f"iterations ({changed[0]} labels still changing); raise "
+                "max_iters — partial labels are not a valid dedup result"
             )
-        )
-        # (b) pointer jumping: label := label(label)
-        parent = stepped.select(
-            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
-        )
-        obs = Observation(f"cc_round_{it}")
-        jumped = (
-            stepped.join(parent, stepped.label == parent.p_id, "left")
-            .select(
-                "doc_id",
-                "old_label",
-                F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
-            )
-            .observe(
-                obs,
-                F.sum(
-                    (F.col("label") != F.col("old_label")).cast("long")
-                ).alias("n_changed"),
-            )
-            .drop("old_label")
-            .localCheckpoint()  # eager: materializes AND fires the observation
-        )
-        changed = int(obs.get["n_changed"] or 0)
-        labels = jumped
-        if changed == 0:
-            break
-    else:
-        # max_iters exhausted with labels still moving: the labels are
-        # NOT component minima — returning them would hand callers a
-        # wrong keeper mapping with no signal. With pointer jumping,
-        # max_iters=12 covers diameters up to ~2^12, so hitting this
-        # means a pathological graph, not a tuning issue.
-        raise RuntimeError(
-            f"resolve_clusters did not converge within {max_iters} "
-            f"iterations ({changed} labels still changing); raise "
-            "max_iters — partial labels are not a valid dedup result"
-        )
+    finally:
+        spark.conf.set(_PF, prev_pf)
     return labels.select("doc_id", F.col("label").alias("keeper_doc_id"))
+
+
+def _cc_round(sym: DataFrame, labels: DataFrame, it: int) -> tuple[int, DataFrame]:
+    """One neighbor-min + pointer-jump round; returns (n_changed,
+    new labels). The convergence count rides on the round's own
+    materialization via df.observe — no separate count job."""
+    from pyspark.sql import Observation
+
+    # (a) neighbor-min
+    prop = (
+        sym.join(labels, sym.src == labels.doc_id)
+        .groupBy("dst")
+        .agg(F.min("label").alias("nmin"))
+    )
+    stepped = labels.join(prop, labels.doc_id == prop.dst, "left").select(
+        "doc_id",
+        F.col("label").alias("old_label"),
+        F.least(
+            F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+        ).alias("label"),
+    )
+    # (b) pointer jumping: label := label(label)
+    parent = stepped.select(
+        F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+    )
+    obs = Observation(f"cc_round_{it}")
+    jumped = (
+        stepped.join(parent, stepped.label == parent.p_id, "left")
+        .select(
+            "doc_id",
+            "old_label",
+            F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
+        )
+        .observe(
+            obs,
+            F.sum(
+                (F.col("label") != F.col("old_label")).cast("long")
+            ).alias("n_changed"),
+        )
+        .drop("old_label")
+        .localCheckpoint()  # eager: materializes AND fires the observation
+    )
+    return int(obs.get["n_changed"] or 0), jumped
 
 
 def resolve_clusters_oracle_sql(
