@@ -50,6 +50,8 @@ HEADLINE = [
     "semantic_dedup",  # SemDeDup: IVF clusters + within-cell dominance drop
     "host_pagerank",  # iterative graph: 10 power iterations over host edges
     "token_drift",  # snapshot drift monitor: two-phase unigram histograms
+    "ngram_lm_perplexity",  # TRAIN bigram LM on corpus + backoff-score every doc
+    "clf_train_gd",  # 10 full-batch GD steps (11 passes, driver-side weights)
 ]
 
 

@@ -51,19 +51,23 @@ def _nonblank(text_col: str) -> F.Column:
 
 
 def with_tokens(
-    docs: DataFrame, text_col: str = "text", keep_blank: bool = False
+    docs: DataFrame,
+    text_col: str = "text",
+    keep_blank: bool = False,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """doc_id + lowercase whitespace token array. With keep_blank,
     blank docs carry an EMPTY array instead of being dropped (split
     of '' would yield the spurious ['']) — that lets the scoring path
     keep every doc without a re-join at the end."""
+    carry = carry or []
     if keep_blank:
         toks = F.when(_nonblank(text_col), _toks_expr(text_col)).otherwise(
             F.expr("array()").cast("array<string>")
         )
-        return docs.select("doc_id", toks.alias("toks"))
+        return docs.select("doc_id", *carry, toks.alias("toks"))
     return docs.where(_nonblank(text_col)).select(
-        "doc_id", _toks_expr(text_col).alias("toks")
+        "doc_id", *carry, _toks_expr(text_col).alias("toks")
     )
 
 
@@ -119,27 +123,32 @@ def score_docs(
     docs: DataFrame,
     text_col: str = "text",
     broadcast_model: bool = True,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Train on the corpus, score every doc: (doc_id, n_bigrams,
     avg_lp, ppl). Docs with <2 tokens (or blank) carry n_bigrams=0
     and NULL avg_lp/ppl — they have no bigram evidence either way.
 
     ppl = exp(-avg_lp): lower is more fluent under the corpus's own
-    statistics; filtering on a high-ppl tail is the CCNet recipe."""
-    toked = with_tokens(docs, text_col, keep_blank=True)
-    uni = train_unigrams(toked)
+    statistics; filtering on a high-ppl tail is the CCNet recipe.
+    `carry` names extra doc columns to thread through (e.g. lang for
+    per-language bucketing) — they ride the doc_id groupBy keys."""
+    carry = carry or []
+    toked = with_tokens(docs, text_col, keep_blank=True, carry=carry)
+    uni = train_unigrams(toked.select("doc_id", "toks"))
     # explode_outer keeps bigramless docs as a single NULL-bg row, so
     # no end-of-plan corpus re-join (which would be a second full
     # shuffle + sort-merge at scale) is ever needed.
     occ = toked.select(
         "doc_id",
+        *carry,
         F.explode_outer(
             F.expr(
                 "transform(slice(toks, 1, greatest(size(toks)-1, 0)), "
                 "(w, i) -> struct(w AS w1, element_at(toks, i+2) AS w2))"
             )
         ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
+    ).select("doc_id", *carry, "bg.w1", "bg.w2")
     bg = occ.where(F.col("w1").isNotNull())
     model = train_bigrams(bg, uni, broadcast_model=broadcast_model)
     n_total = uni.agg(F.sum("c1").alias("n_total"))
@@ -164,10 +173,34 @@ def score_docs(
             ),
         )
     )
-    return lp.groupBy("doc_id").agg(
+    return lp.groupBy("doc_id", *carry).agg(
         F.count("w1").alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("avg_lp"),
         F.round(F.exp(-F.avg("lp")), 6).alias("ppl"),
+    )
+
+
+def ccnet_ppl_buckets(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """CCNet's head/middle/tail split: within each language, rank docs
+    by trained-LM perplexity and cut into tertiles (ntile(3)) — head
+    is the most-fluent third, the slice CCNet keeps unconditionally;
+    tail is the usual drop. Ordering is (ppl, doc_id) on the 6-dp
+    ppl, so the tertile boundaries are engine-independent. Docs with
+    no bigram evidence (blank / 1 token) are excluded — they carry no
+    ppl to rank. One extra shuffle (the per-language window) on a
+    3-column relation."""
+    from pyspark.sql import Window
+
+    scored = score_docs(docs, carry=[lang_col]).where(F.col("ppl").isNotNull())
+    w = Window.partitionBy(lang_col).orderBy(F.asc("ppl"), F.asc("doc_id"))
+    b = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        lang_col,
+        "ppl",
+        F.when(b == 1, "head").when(b == 2, "middle").otherwise("tail").alias(
+            "ppl_bucket"
+        ),
     )
 
 
@@ -201,7 +234,10 @@ HAVING count(*) >= {MIN_BIGRAM_COUNT}
 """.strip()
 
 
-def score_oracle_sql(d: str, docs: str = "documents") -> str:
+def score_oracle_sql(
+    d: str, docs: str = "documents", carry_cols: str = ""
+) -> str:
+    carry_sel = "".join(f", d.{c}" for c in carry_cols.split(",") if c)
     return f"""
 WITH {_base_ctes(d, docs)},
 model AS (SELECT b.w1, b.w2, ln(count(*) / CAST(any_value(u.c1) AS DOUBLE)) AS logprob
@@ -217,8 +253,21 @@ lp AS (SELECT b.doc_id,
        LEFT JOIN uni u2 ON b.w2 = u2.tok),
 scored AS (SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS avg_lp
            FROM lp GROUP BY doc_id)
-SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+SELECT d.doc_id{carry_sel}, coalesce(s.n_bigrams, 0) AS n_bigrams,
        round(s.avg_lp, 6) AS avg_lp,
        round(exp(-s.avg_lp), 6) AS ppl
 FROM {docs} d LEFT JOIN scored s ON d.doc_id = s.doc_id
+""".strip()
+
+
+def ccnet_buckets_oracle_sql(
+    d: str, docs: str = "documents", lang_col: str = "lang"
+) -> str:
+    inner = score_oracle_sql(d, docs=docs, carry_cols=lang_col)
+    return f"""
+SELECT doc_id, {lang_col}, ppl,
+       CASE ntile(3) OVER (PARTITION BY {lang_col} ORDER BY ppl ASC, doc_id ASC)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM ({inner}) WHERE ppl IS NOT NULL
 """.strip()

@@ -3527,6 +3527,16 @@ def q_ngram_lm_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ccnet_ppl_buckets", ngramlm_op.ccnet_buckets_oracle_sql(D))
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail: per-language perplexity tertiles under
+    the corpus-trained LM — the bucket-by-fluency split CCNet uses to
+    keep head unconditionally and drop tail. Deterministic ntile on
+    (6-dp ppl, doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngramlm_op.ccnet_ppl_buckets(docs)
+
+
 @register("ngram_lm_perplexity", ngramlm_op.score_oracle_sql(D))
 def q_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-backoff perplexity of every doc under the corpus's own
