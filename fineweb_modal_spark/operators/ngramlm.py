@@ -136,10 +136,22 @@ def score_docs(
     carry = carry or []
     toked = with_tokens(docs, text_col, keep_blank=True, carry=carry)
     uni = train_unigrams(toked.select("doc_id", "toks"))
-    # explode_outer keeps bigramless docs as a single NULL-bg row, so
-    # no end-of-plan corpus re-join (which would be a second full
-    # shuffle + sort-merge at scale) is ever needed.
-    occ = toked.select(
+    occ = _occurrences(toked, carry)
+    bg = occ.where(F.col("w1").isNotNull())
+    model = train_bigrams(bg, uni, broadcast_model=broadcast_model)
+    n_total = uni.agg(F.sum("c1").alias("n_total"))
+    lp = _attach_logprob(
+        occ, model, uni, n_total, broadcast_model=broadcast_model
+    )
+    return _per_doc_rollup(lp, carry)
+
+
+def _occurrences(toked: DataFrame, carry: list[str]) -> DataFrame:
+    """Bigram OCCURRENCES per doc. explode_outer keeps bigramless docs
+    as a single NULL-bg row, so no end-of-plan corpus re-join (which
+    would be a second full shuffle + sort-merge at scale) is ever
+    needed."""
+    return toked.select(
         "doc_id",
         *carry,
         F.explode_outer(
@@ -149,35 +161,79 @@ def score_docs(
             )
         ).alias("bg"),
     ).select("doc_id", *carry, "bg.w1", "bg.w2")
-    bg = occ.where(F.col("w1").isNotNull())
-    model = train_bigrams(bg, uni, broadcast_model=broadcast_model)
-    n_total = uni.agg(F.sum("c1").alias("n_total"))
 
+
+def _attach_logprob(
+    occ: DataFrame,
+    model: DataFrame,
+    uni: DataFrame,
+    n_total: DataFrame | int,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Stupid-backoff log-prob per occurrence. n_total may be a 1-row
+    frame (batch: stays a broadcast cross-join) or a plain int
+    (streaming: stream×static cross-joins are awkward, a literal
+    isn't)."""
     uni_w2 = uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c1_w2"))
     model_j = model.select("w1", "w2", "logprob")
     if broadcast_model:
         uni_w2, model_j = F.broadcast(uni_w2), F.broadcast(model_j)
-    lp = (
-        occ.join(model_j, ["w1", "w2"], "left_outer")
-        .join(uni_w2, "w2", "left_outer")
-        .crossJoin(F.broadcast(n_total))
-        .withColumn(
-            "lp",
-            F.when(
-                F.col("w1").isNotNull(),
-                F.coalesce(
-                    F.col("logprob"),
-                    F.log(F.lit(ALPHA) * F.col("c1_w2") / F.col("n_total")),
-                    F.log(F.lit(ALPHA) / F.col("n_total")),
-                ),
-            ),
-        )
+    j = occ.join(model_j, ["w1", "w2"], "left_outer").join(
+        uni_w2, "w2", "left_outer"
     )
+    if isinstance(n_total, DataFrame):
+        j = j.crossJoin(F.broadcast(n_total))
+        n = F.col("n_total")
+    else:
+        n = F.lit(int(n_total))
+    return j.withColumn(
+        "lp",
+        F.when(
+            F.col("w1").isNotNull(),
+            F.coalesce(
+                F.col("logprob"),
+                F.log(F.lit(ALPHA) * F.col("c1_w2") / n),
+                F.log(F.lit(ALPHA) / n),
+            ),
+        ),
+    )
+
+
+def _per_doc_rollup(lp: DataFrame, carry: list[str]) -> DataFrame:
     return lp.groupBy("doc_id", *carry).agg(
         F.count("w1").alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("avg_lp"),
         F.round(F.exp(-F.avg("lp")), 6).alias("ppl"),
     )
+
+
+def train_model(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Batch-train and hand back the frozen model: (bigram table,
+    unigram vocab, N). This is the artifact a scoring STREAM (or a
+    later snapshot) applies — train once, apply anywhere."""
+    toked = with_tokens(docs, text_col)
+    uni = train_unigrams(toked)
+    model = train_bigrams(with_bigrams(toked), uni)
+    n_total = int(uni.agg(F.sum("c1")).collect()[0][0] or 0)
+    return model, uni, n_total
+
+
+def score_against_model(
+    docs: DataFrame,
+    model: DataFrame,
+    uni: DataFrame,
+    n_total: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a FROZEN model to any doc frame — batch or streaming
+    (every step is stateless row-local transform + stream-static
+    broadcast join until the final per-doc rollup)."""
+    toked = with_tokens(docs, text_col, keep_blank=True)
+    occ = _occurrences(toked, [])
+    lp = _attach_logprob(occ, model, uni, n_total)
+    return _per_doc_rollup(lp, [])
 
 
 def ccnet_ppl_buckets(docs: DataFrame, lang_col: str = "lang") -> DataFrame:

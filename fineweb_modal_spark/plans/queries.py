@@ -3527,6 +3527,26 @@ def q_ngram_lm_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ngram_lm_score_stream", ngramlm_op.score_oracle_sql(D))
+def q_ngram_lm_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-trained LM applied to a documents STREAM (stream-static
+    broadcast joins, stateless bigram explode, complete-mode rollup).
+    Single-batch AvailableNow source over the training corpus ⇒ the
+    stream must reproduce the batch perplexity gate exactly — same
+    oracle as ngram_lm_perplexity."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="gate_lmstream_")
+    load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(
+        f"{d}/docs"
+    )
+    return streaming_inc.lm_score_stream(
+        spark, f"{d}/docs", f"{d}/ckpt", query_name=f"gate_lmscore_{tag}"
+    )
+
+
 @register("ccnet_ppl_buckets", ngramlm_op.ccnet_buckets_oracle_sql(D))
 def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail: per-language perplexity tertiles under

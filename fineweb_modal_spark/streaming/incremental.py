@@ -217,3 +217,36 @@ def windowed_token_histogram(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def lm_score_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint: str,
+    query_name: str = "lm_scores",
+) -> DataFrame:
+    """Train-batch / score-stream: the bigram LM is frozen from the
+    BATCH view of docs_dir, then a readStream over the same directory
+    scores arriving docs against it — stateless row-local bigram
+    explode + stream-static broadcast joins, then a per-doc rollup in
+    complete mode to the memory sink. This is the production shape for
+    model-based filters on a live crawl: the model is an artifact of
+    the last training run, never recomputed per micro-batch. (A real
+    deployment would window the rollup by arrival time to bound state;
+    the gate's AvailableNow single batch makes complete mode exact.)"""
+    from ..operators import ngramlm
+
+    batch = spark.read.parquet(docs_dir)
+    model, uni, n_total = ngramlm.train_model(batch)
+    stream = spark.readStream.schema(batch.schema).parquet(docs_dir)
+    scored = ngramlm.score_against_model(stream, model, uni, n_total)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
