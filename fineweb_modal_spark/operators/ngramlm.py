@@ -260,6 +260,32 @@ def ccnet_ppl_buckets(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
     )
 
 
+def holdout_eval(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The LM-eval loop done honestly: train on the deterministic
+    train split, report held-out corpus perplexity on val and test —
+    OOV and backoff paths fire for real because eval vocabulary was
+    never seen by the counts. Output: one row per held-out split
+    (n_docs with bigram evidence, n_bigrams, corpus avg_lp, ppl =
+    exp(-avg_lp) over all occurrences — the standard corpus-level
+    metric, not a mean of per-doc means)."""
+    from .split import assign_split
+
+    sp = assign_split(docs)
+    model, uni, n_total = train_model(
+        sp.where(F.col("split") == "train"), text_col=text_col
+    )
+    ev = sp.where(F.col("split") != "train")
+    toked = with_tokens(ev, text_col, keep_blank=True, carry=["split"])
+    occ = _occurrences(toked, ["split"]).where(F.col("w1").isNotNull())
+    lp = _attach_logprob(occ, model, uni, n_total)
+    return lp.groupBy("split").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_lp"),
+        F.round(F.exp(-F.avg("lp")), 6).alias("ppl"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle renderings (DuckDB re-derives the full model from documents)
 # ---------------------------------------------------------------------------
@@ -326,4 +352,36 @@ SELECT doc_id, {lang_col}, ppl,
             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
        END AS ppl_bucket
 FROM ({inner}) WHERE ppl IS NOT NULL
+""".strip()
+
+
+def holdout_eval_oracle_sql(d: str, docs: str = "documents") -> str:
+    from .split import split_expr
+
+    sp = split_expr(d)
+    toks = sd.ws_tokens("lower(text)", d)
+    trim = sd.ws_trim("lower(text)", d)
+    return f"""
+WITH alldocs AS (SELECT doc_id, text, {sp} AS split FROM {docs}),
+traindocs AS (SELECT doc_id, text FROM alldocs WHERE split = 'train'),
+evaldocs AS (SELECT doc_id, text, split FROM alldocs WHERE split <> 'train'),
+{_base_ctes(d, 'traindocs')},
+model AS (SELECT b.w1, b.w2, ln(count(*) / CAST(any_value(u.c1) AS DOUBLE)) AS logprob
+          FROM big b JOIN uni u ON b.w1 = u.tok
+          GROUP BY b.w1, b.w2 HAVING count(*) >= {MIN_BIGRAM_COUNT}),
+n AS (SELECT sum(c1) AS n_total FROM uni),
+etoks AS (SELECT doc_id, split, {toks} AS t FROM evaldocs
+          WHERE length({trim}) > 0),
+ebig AS (SELECT doc_id, split, t[i] AS w1, t[i+1] AS w2
+         FROM etoks, unnest(generate_series(1, len(t)-1)) AS u(i)),
+elp AS (SELECT e.doc_id, e.split,
+               coalesce(m.logprob,
+                        ln({ALPHA} * u2.c1 / (SELECT n_total FROM n)),
+                        ln({ALPHA} / (SELECT n_total FROM n))) AS lp
+        FROM ebig e
+        LEFT JOIN model m ON e.w1 = m.w1 AND e.w2 = m.w2
+        LEFT JOIN uni u2 ON e.w2 = u2.tok)
+SELECT split, count(DISTINCT doc_id) AS n_docs, count(*) AS n_bigrams,
+       round(avg(lp), 6) AS avg_lp, round(exp(-avg(lp)), 6) AS ppl
+FROM elp GROUP BY split
 """.strip()

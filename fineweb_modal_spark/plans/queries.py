@@ -3527,6 +3527,16 @@ def q_ngram_lm_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ngram_lm_holdout_eval", ngramlm_op.holdout_eval_oracle_sql(D))
+def q_ngram_lm_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM evaluation: train on the deterministic 90% train
+    split, report corpus-level perplexity on val and test — the eval
+    loop that justifies (or vetoes) shipping a retrained filter
+    model. OOV/backoff paths exercise for real on unseen vocab."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngramlm_op.holdout_eval(docs)
+
+
 @register("ngram_lm_score_stream", ngramlm_op.score_oracle_sql(D))
 def q_ngram_lm_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-trained LM applied to a documents STREAM (stream-static
