@@ -3527,6 +3527,35 @@ def q_ngram_lm_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CCNET_FILTER_ORACLE = f"""
+SELECT b.doc_id, b.lang, b.ppl_bucket
+FROM ({ngramlm_op.ccnet_buckets_oracle_sql(D)}) b
+JOIN ({{keep}}) k ON b.doc_id = k.doc_id
+WHERE b.ppl_bucket <> 'tail' AND k.keep
+""".strip()
+
+
+@register(
+    "ccnet_filter_pipeline",
+    _CCNET_FILTER_ORACLE.format(keep=quality.keep_sql(D)),
+)
+def q_ccnet_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed CCNet-style admission: a doc ships iff it's in
+    the head/middle fluency buckets of its language (trained-LM ppl
+    tertiles) AND passes the heuristic keep battery. The bucket side
+    is the windowed rollup; the keep side is pure codegen on the same
+    scan — joined on doc_id (broadcastable: the bucket relation is
+    3 columns)."""
+    docs = load_table(spark, sf_dir, "documents")
+    buckets = ngramlm_op.ccnet_ppl_buckets(docs)
+    keep = quality.with_keep(quality.with_signals(docs)).select("doc_id", "keep")
+    return (
+        buckets.where(F.col("ppl_bucket") != "tail")
+        .join(keep.where(F.col("keep")), "doc_id")
+        .select("doc_id", "lang", "ppl_bucket")
+    )
+
+
 @register("ngram_lm_holdout_eval", ngramlm_op.holdout_eval_oracle_sql(D))
 def q_ngram_lm_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out LM evaluation: train on the deterministic 90% train

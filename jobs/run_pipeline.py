@@ -45,7 +45,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--mode",
         default="batch",
-        choices=["batch", "resume", "incremental", "hygiene"],
+        choices=[
+            "batch", "resume", "incremental", "hygiene",
+            "train-lm", "score-lm",
+        ],
+    )
+    ap.add_argument(
+        "--model", default=None,
+        help="model directory: written by train-lm, read by score-lm",
     )
     ap.add_argument("--granularity", default="day", choices=["day", "minute"])
     ap.add_argument("--checkpoint", default=None)
@@ -96,6 +103,50 @@ def main(argv: list[str] | None = None) -> int:
             "partitions_committed": len(rows),
             "rows": sum(r["n_rows"] for r in rows),
             "keep": sum(r["n_keep"] for r in rows),
+        }
+    elif args.mode == "train-lm":
+        # fit the bigram LM on a documents parquet dir (doc_id, text)
+        # and persist the model as its two count relations + meta —
+        # the artifact score-lm (or the scoring stream) applies later.
+        from fineweb_modal_spark.operators import ngramlm
+
+        mdir = (args.model or args.output).rstrip("/")
+        docs = spark.read.parquet(args.input)
+        model, uni, n_total = ngramlm.train_model(docs)
+        model.write.mode("overwrite").parquet(f"{mdir}/bigrams")
+        uni.write.mode("overwrite").parquet(f"{mdir}/unigrams")
+        spark.createDataFrame(
+            [(n_total, ngramlm.ALPHA, ngramlm.MIN_BIGRAM_COUNT,
+              ngramlm.MIN_UNIGRAM_COUNT)],
+            "n_total long, alpha double, min_bigram int, min_unigram int",
+        ).write.mode("overwrite").parquet(f"{mdir}/meta")
+        out = {
+            "mode": "train-lm",
+            "model_dir": mdir,
+            "n_total_tokens": n_total,
+            "vocab": uni.count(),
+            "bigram_types": model.count(),
+        }
+    elif args.mode == "score-lm":
+        # apply a stored model to a documents parquet dir; committed
+        # partitioned write is unnecessary for a scores table — plain
+        # parquet keyed by doc_id.
+        from pyspark.sql import functions as F2
+
+        from fineweb_modal_spark.operators import ngramlm
+
+        mdir = args.model.rstrip("/")
+        model = spark.read.parquet(f"{mdir}/bigrams")
+        uni = spark.read.parquet(f"{mdir}/unigrams")
+        n_total = spark.read.parquet(f"{mdir}/meta").collect()[0].n_total
+        docs = spark.read.parquet(args.input)
+        scored = ngramlm.score_against_model(docs, model, uni, n_total)
+        scored.write.mode("overwrite").parquet(args.output)
+        back = spark.read.parquet(args.output)
+        out = {
+            "mode": "score-lm",
+            "rows": back.count(),
+            "scored": back.where(F2.col("ppl").isNotNull()).count(),
         }
     elif args.mode == "incremental":
         from fineweb_modal_spark.streaming import incremental

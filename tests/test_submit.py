@@ -123,3 +123,51 @@ def test_job_hygiene_mode(spark, tmp_path):
     # kept rows carry scrubbed text; dropped rows carry none
     for r in rows:
         assert (r.scrubbed_text is not None) == bool(r.keep)
+
+
+def test_job_train_then_score_lm(spark, tmp_path):
+    """--mode train-lm persists the frozen bigram LM as parquet
+    relations; --mode score-lm applies that artifact to a (possibly
+    different) corpus. Scores must equal the in-session train+score
+    path on the same split — the artifact round-trip is lossless."""
+    import jobs.run_pipeline as job
+
+    from fineweb_modal_spark.operators import ngramlm
+    from fineweb_modal_spark.sources.tables import load_table
+
+    docs_dir = str(tmp_path / "docs")
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    docs.write.parquet(docs_dir)
+
+    mdir = str(tmp_path / "lm_model")
+    rc = job.main(
+        ["--input", docs_dir, "--output", mdir, "--mode", "train-lm"]
+    )
+    assert rc == 0
+    for rel in ("bigrams", "unigrams", "meta"):
+        assert os.path.isdir(os.path.join(mdir, rel)), rel
+
+    scores_dir = str(tmp_path / "scores")
+    rc = job.main(
+        ["--input", docs_dir, "--output", scores_dir,
+         "--mode", "score-lm", "--model", mdir]
+    )
+    assert rc == 0
+
+    got = {
+        r.doc_id: r.ppl
+        for r in spark.read.parquet(scores_dir).collect()
+    }
+    model, uni, n_total = ngramlm.train_model(docs)
+    want = {
+        r.doc_id: r.ppl
+        for r in ngramlm.score_against_model(
+            docs, model, uni, n_total
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        if v is None:
+            assert got[k] is None, k
+        else:
+            assert abs(got[k] - v) < 1e-9, k
