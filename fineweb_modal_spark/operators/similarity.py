@@ -1300,3 +1300,143 @@ def ivf_incremental_oracle_sql(d: str, table: str = "embeddings") -> str:
 SELECT vec_id, centroid_id AS cell, round(ccos, 6) AS centroid_cos
 FROM ranked WHERE crank = 1
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# FineWeb-Edu-style semantic quality scoring (cosine to a seed centroid)
+# ---------------------------------------------------------------------------
+#
+# FineWeb-Edu / DCLM quality filtering scores every document with a
+# classifier trained on a SMALL curated exemplar set, then keeps
+# documents whose integer score clears a threshold (FineWeb-Edu keeps
+# int_score >= 3 on a 0-5 scale). The embedding-space analog here:
+# the seed exemplars are the `label = 0` vectors, the "classifier" is
+# cosine similarity to their centroid, and the 0-5 bucket is an affine
+# map of the cosine. Reference parity: the reference embeds chunks and
+# ranks them by vector similarity (lancer.py:203-216 index + search);
+# this composes that capability into an admission decision.
+#
+# Scale shape: the seed set is curated and therefore tiny (FineWeb-Edu
+# used ~450k annotations against billions of candidate docs), so the
+# centroid train step is one n_seeds x 64-row shuffle plus a 64-row
+# collect — index-metadata-sized, same budget class as IVF centroid
+# training above. Scoring is a row-local fold over a constant-folded
+# literal centroid: ZERO shuffles, zero Python, whole-stage codegen.
+
+EDU_SEED_LABEL = 0
+EDU_KEEP_MIN = 3  # FineWeb-Edu convention: keep int_score >= 3
+
+
+def train_edu_centroid(
+    emb: DataFrame, seed_label: int = EDU_SEED_LABEL
+) -> list[float]:
+    """Per-dimension mean of the seed exemplar vectors, rounded to 6dp.
+
+    Rounding BEFORE baking the centroid into the scoring plan pins the
+    values both engines fold over: the DuckDB oracle re-derives the
+    same rounded centroid relationally, so the downstream cosine fold
+    runs over identical doubles in identical array order.
+    """
+    rows = (
+        emb.where(F.col("label") == seed_label)
+        .select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+        .orderBy("pos")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"no seed vectors with label={seed_label}")
+    return [float(r["c"]) for r in rows]
+
+
+def _centroid_array_sql(centroid: list[float]) -> str:
+    # repr() is shortest-roundtrip: the parsed literal is bit-identical
+    # to the collected rounded double
+    return (
+        "array("
+        + ", ".join(f"CAST({c!r} AS DOUBLE)" for c in centroid)
+        + ")"
+    )
+
+
+def _edu_bucket_sql(cos: str) -> str:
+    """0-5 integer score from a rounded cosine — shared ANSI text so
+    both dialects bucket with the exact same float ops (affine map of
+    [-1, 1] onto [0, 5] with round-half-up)."""
+    return (
+        f"CAST(least(CAST(5 AS DOUBLE), greatest(CAST(0 AS DOUBLE), "
+        f"floor(({cos} + CAST(1 AS DOUBLE)) * CAST(2.5 AS DOUBLE) "
+        f"+ CAST(0.5 AS DOUBLE)))) AS INT)"
+    )
+
+
+def edu_scores(emb: DataFrame, centroid: list[float]) -> DataFrame:
+    """(doc_id, edu_cosine, edu_score, keep) for every vector.
+
+    The centroid ships as a Catalyst literal array — scoring is one
+    codegen'd projection, no join against a centroid relation.
+    """
+    arr = _centroid_array_sql(centroid)
+    cos = (
+        f"round(({_dot('embedding', arr, S)}) / "
+        f"(({_norm('embedding', S)}) * ({_norm(arr, S)})), 6)"
+    )
+    return (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(cos).alias("edu_cosine"),
+        )
+        .withColumn("edu_score", F.expr(_edu_bucket_sql("edu_cosine")))
+        .withColumn("keep", F.col("edu_score") >= F.lit(EDU_KEEP_MIN))
+    )
+
+
+def edu_scores_ctes(d: str, table: str = "embeddings") -> str:
+    """Shared oracle CTE chain ending in `bucketed(doc_id, edu_cosine,
+    edu_score, keep)` — the full re-derivation: seeds → per-dim rounded
+    centroid → ordered centroid list → cosine fold → bucket."""
+    return f"""
+seeds AS (SELECT embedding FROM {table} WHERE label = {EDU_SEED_LABEL}),
+dims AS (
+  SELECT i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+  FROM seeds, unnest(generate_series(1, len(embedding))) AS t(i)
+  GROUP BY i
+),
+cent AS (SELECT list(c ORDER BY pos) AS cv FROM dims),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+         round(({_dot('e.embedding', 'c.cv', d)}) /
+               (({_norm('e.embedding', d)}) * ({_norm('c.cv', d)})), 6)
+           AS edu_cosine
+  FROM {table} e CROSS JOIN cent c
+),
+bucketed AS (
+  SELECT doc_id, edu_cosine,
+         {_edu_bucket_sql('edu_cosine')} AS edu_score,
+         ({_edu_bucket_sql('edu_cosine')} >= {EDU_KEEP_MIN}) AS keep
+  FROM scored
+)
+""".strip()
+
+
+def edu_scores_oracle_sql(d: str, table: str = "embeddings") -> str:
+    return f"""
+WITH {edu_scores_ctes(d, table)}
+SELECT b.doc_id, d2.lang, b.edu_cosine, b.edu_score, b.keep
+FROM bucketed b JOIN documents d2 ON d2.doc_id = b.doc_id
+""".strip()
+
+
+def edu_keep_by_source_oracle_sql(d: str, table: str = "embeddings") -> str:
+    return f"""
+WITH {edu_scores_ctes(d, table)}
+SELECT d2.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN b.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(avg(CASE WHEN b.keep THEN CAST(1 AS DOUBLE)
+                 ELSE CAST(0 AS DOUBLE) END), 6) AS keep_rate,
+       round(avg(CAST(b.edu_score AS DOUBLE)), 6) AS avg_score
+FROM bucketed b JOIN documents d2 ON d2.doc_id = b.doc_id
+GROUP BY d2.source
+""".strip()

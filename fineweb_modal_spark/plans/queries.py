@@ -3621,5 +3621,53 @@ def q_clf_train_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clftrain_op.train_report(docs)
 
 
+# ---------------------------------------------------------------------------
+# FineWeb-Edu-style semantic quality admission (cosine to seed centroid)
+# ---------------------------------------------------------------------------
+
+
+@register("edu_centroid_scores", similarity.edu_scores_oracle_sql(D))
+def q_edu_centroid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-Edu analog: every document scored 0-5 by cosine to the
+    centroid of the curated seed exemplars (label=0 vectors), keep at
+    int_score >= 3. Centroid train = tiny posexplode agg + 64-row
+    collect; scoring = constant-folded literal fold, zero shuffles;
+    hydration = one doc_id equi-join. Oracle re-derives the rounded
+    centroid, the cosine fold, and the bucket map relationally."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cent = similarity.train_edu_centroid(emb)
+    scored = similarity.edu_scores(emb, cent)
+    return scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "edu_cosine", "edu_score", "keep"
+    )
+
+
+@register("edu_keep_by_source", similarity.edu_keep_by_source_oracle_sql(D))
+def q_edu_keep_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission KPI over the edu scorer: per-source doc count, kept
+    count, keep rate, and mean 0-5 score — the dashboard row a corpus
+    curator watches while tuning the threshold. One partial-agg
+    shuffle on source after the zero-shuffle scoring projection."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cent = similarity.train_edu_centroid(emb)
+    scored = similarity.edu_scores(emb, cent)
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_keep"),
+            F.round(F.avg(F.col("keep").cast("double")), 6).alias(
+                "keep_rate"
+            ),
+            F.round(F.avg(F.col("edu_score").cast("double")), 6).alias(
+                "avg_score"
+            ),
+        )
+    )
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401

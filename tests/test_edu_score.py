@@ -1,0 +1,60 @@
+"""FineWeb-Edu-style centroid scorer: bucket map + centroid training
+semantics (the oracle parity itself is covered by test_gate_parity)."""
+
+from __future__ import annotations
+
+from fineweb_modal_spark.operators import similarity
+
+_DIMS = 64
+
+
+def _vec(first: float, last: float = 0.0) -> list[float]:
+    v = [0.0] * _DIMS
+    v[0] = first
+    v[-1] = last
+    return v
+
+
+def test_edu_bucket_endpoints(spark):
+    cent = _vec(1.0)
+    emb = spark.createDataFrame(
+        [
+            (1, _vec(1.0), 1),     # cosine +1 → score 5
+            (2, _vec(-1.0), 1),    # cosine -1 → score 0
+            (3, _vec(0.0, 1.0), 1),  # orthogonal, cosine 0 → score 3
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    out = {r["doc_id"]: r for r in similarity.edu_scores(emb, cent).collect()}
+    assert out[1]["edu_score"] == 5 and out[1]["keep"]
+    assert out[2]["edu_score"] == 0 and not out[2]["keep"]
+    # affine map: (0 + 1) * 2.5 + 0.5 = 3.0, floor → 3 (kept at margin)
+    assert out[3]["edu_score"] == 3 and out[3]["keep"]
+
+
+def test_train_centroid_uses_only_seed_label(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, _vec(1.0), 0),
+            (2, _vec(0.0, 1.0), 0),
+            (3, _vec(-100.0), 7),  # non-seed must not move the centroid
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    cent = similarity.train_edu_centroid(emb, seed_label=0)
+    assert len(cent) == _DIMS
+    assert cent[0] == 0.5 and cent[-1] == 0.5
+    assert all(c == 0.0 for c in cent[1:-1])
+
+
+def test_train_centroid_raises_without_seeds(spark):
+    emb = spark.createDataFrame(
+        [(1, _vec(1.0), 3)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    try:
+        similarity.train_edu_centroid(emb, seed_label=0)
+    except ValueError as e:
+        assert "seed" in str(e)
+    else:
+        raise AssertionError("expected ValueError for empty seed set")
