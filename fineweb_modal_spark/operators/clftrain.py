@@ -145,12 +145,11 @@ def _margin_sql(wcte: str, frame: str = "featz") -> str:
     return " + ".join(terms)
 
 
-def train_oracle_sql(
+def _train_ctes(
     d: str, steps: int = K_STEPS, eta: float = ETA, docs: str = "documents"
-) -> str:
-    """Re-derives the whole pipeline relationally: stats CTE (mu/sd),
-    z-scored frame, then w{k} as a 1-row CTE from featz × w{k-1} —
-    same avg-gradient, same literal step size, hash-equal weights."""
+) -> tuple[list[str], str]:
+    """The shared CTE chain: feat → st → featz → w0..w{steps}.
+    Returns (ctes, final_weight_cte_name)."""
     sig = quality.signals_sql(d, table=docs, round_out=False)
     keep = quality.keep_sql(d, table=docs)
     fcols = ", ".join(f"{e} AS {n}" for n, e in FEATURE_SQL)
@@ -183,7 +182,16 @@ def train_oracle_sql(
             for i in range(len(_FN))
         ]
         ctes.append(f"w{k} AS (SELECT {', '.join(wsel)} FROM {prev}, g{k})")
-    wk = f"w{steps}"
+    return ctes, f"w{steps}"
+
+
+def train_oracle_sql(
+    d: str, steps: int = K_STEPS, eta: float = ETA, docs: str = "documents"
+) -> str:
+    """Re-derives the whole pipeline relationally: stats CTE (mu/sd),
+    z-scored frame, then w{k} as a 1-row CTE from featz × w{k-1} —
+    same avg-gradient, same literal step size, hash-equal weights."""
+    ctes, wk = _train_ctes(d, steps=steps, eta=eta, docs=docs)
     agree = f"((({_margin_sql(wk)}) >= 0.0) = (featz.y = 1.0))"
     final = ", ".join(f"round({wk}.{c}, 6) AS {c}" for c in _W)
     return (
@@ -195,4 +203,39 @@ SELECT {final},
        CAST(sum(CASE WHEN {agree} THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
 FROM featz, {wk}
 GROUP BY {', '.join(f'{wk}.{c}' for c in _W)}"""
+    )
+
+
+def f1_vs_judge(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """1-row confusion + accuracy/precision/recall/F1 of the TRAINED
+    classifier against the judge labels it distilled — the keep/drop-F1
+    acceptance metric for the learned predictor (the frozen-weight
+    analog lives in quality.f1_report). Training cost is the K+1
+    passes of train(); the evaluation itself is one map-side integer
+    reduce over the already-persisted feature frame."""
+    w, feat = train(docs, text_col=text_col)
+    try:
+        agg = quality.confusion_counts(
+            feat, _margin(w) >= 0.0, F.col("y") == 1.0
+        )
+        return quality.metrics_from_confusion(
+            agg.withColumn("predictor", F.lit("trained_gd")), ["predictor"]
+        )
+    finally:
+        feat.unpersist()
+
+
+def f1_oracle_sql(
+    d: str, steps: int = K_STEPS, eta: float = ETA, docs: str = "documents"
+) -> str:
+    """Replays the training trajectory, then scores featz with the
+    final weights into confusion counts + metrics."""
+    ctes, wk = _train_ctes(d, steps=steps, eta=eta, docs=docs)
+    counts = quality.confusion_counts_sql(
+        f"({_margin_sql(wk)}) >= 0.0", "featz.y = 1.0", f"featz, {wk}"
+    )
+    ctes.append(f"m AS ({counts})")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + quality.metrics_select_sql("trained_gd")
     )

@@ -409,3 +409,91 @@ SELECT doc_id, lang,
        ), 6) AS pctl
 FROM clf
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Keep/drop agreement report (the tier's acceptance metric: F1 vs labels)
+# ---------------------------------------------------------------------------
+
+
+def confusion_counts(df: DataFrame, pred: Column, lab: Column) -> DataFrame:
+    """1-row (n_docs, tp, fp, fn, tn) — four integer counts reduced
+    map-side; the only shuffle is the 1-row final agg."""
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((pred & lab).cast("long")).alias("tp"),
+        F.sum((pred & ~lab).cast("long")).alias("fp"),
+        F.sum((~pred & lab).cast("long")).alias("fn"),
+        F.sum((~pred & ~lab).cast("long")).alias("tn"),
+    )
+
+
+def metrics_from_confusion(agg: DataFrame, lead: list[str]) -> DataFrame:
+    """Append accuracy/precision/recall/F1 to a confusion-count frame.
+    Ratios divide exact integers once at the end: F1 = 2tp/(2tp+fp+fn)
+    avoids the intermediate precision/recall floats entirely."""
+    d = lambda a, b: F.round(a.cast("double") / b.cast("double"), 6)  # noqa: E731
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return agg.select(
+        *lead, "n_docs", "tp", "fp", "fn", "tn",
+        d(tp + tn, F.col("n_docs")).alias("accuracy"),
+        d(tp, tp + fp).alias("precision"),
+        d(tp, tp + fn).alias("recall"),
+        d(F.lit(2) * tp, F.lit(2) * tp + fp + fn).alias("f1"),
+    )
+
+
+def f1_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """ONE row: confusion counts + accuracy/precision/recall/F1 of the
+    frozen-weight classifier's keep decision against the heuristic
+    battery's keep bit (the reference-label proxy) — the keep/drop-F1
+    acceptance metric computed in-engine.
+
+    Both decisions come off the SAME signal relation (one battery
+    pass, no self-join)."""
+    clf = with_keep(with_classifier(df, text_col=text_col))
+    agg = confusion_counts(clf, F.col("clf_keep"), F.col("keep"))
+    return metrics_from_confusion(
+        agg.withColumn("predictor", F.lit("frozen_logistic")), ["predictor"]
+    )
+
+
+def confusion_counts_sql(pred: str, lab: str, source: str) -> str:
+    """(n_docs, tp, fp, fn, tn) aggregate over `source` — shared by
+    every predictor-vs-judge oracle."""
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ({pred}) AND ({lab}) THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN ({pred}) AND NOT ({lab}) THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN NOT ({pred}) AND ({lab}) THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(sum(CASE WHEN NOT ({pred}) AND NOT ({lab}) THEN 1 ELSE 0 END) AS BIGINT) AS tn
+FROM {source}
+""".strip()
+
+
+def metrics_select_sql(predictor: str, m: str = "m") -> str:
+    """Final metric projection over a confusion-count relation `m`."""
+    return f"""
+SELECT '{predictor}' AS predictor, n_docs, tp, fp, fn, tn,
+       round(CAST(tp + tn AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS accuracy,
+       round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+       round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
+       round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+FROM {m}
+""".strip()
+
+
+def f1_report_sql(d: str, table: str = "documents",
+                  text_col: str = "text") -> str:
+    clf = classifier_sql(d, table=table, text_col=text_col)
+    keep = keep_sql(d, table=table, text_col=text_col)
+    counts = confusion_counts_sql(
+        "clf.clf_keep", "lab.keep",
+        "clf JOIN lab ON clf.doc_id = lab.doc_id",
+    )
+    return f"""
+WITH clf AS ({clf}),
+lab AS ({keep}),
+m AS ({counts})
+{metrics_select_sql('frozen_logistic')}
+""".strip()

@@ -3669,5 +3669,24 @@ def q_edu_keep_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_F1_ORACLE = f"""
+SELECT * FROM ({quality.f1_report_sql(D)})
+UNION ALL
+SELECT * FROM ({clftrain_op.f1_oracle_sql(D)})
+""".strip()
+
+
+@register("keepdrop_f1_report", _F1_ORACLE)
+def q_keepdrop_f1_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tier's acceptance metric computed in-engine: confusion
+    counts + accuracy/precision/recall/F1 vs the heuristic judge
+    labels, one row per predictor — the frozen-weight logistic
+    stand-in AND the in-engine GD-trained distillation (whose oracle
+    replays the whole training trajectory before scoring). Map-side
+    integer counts, 1-row reduce per predictor."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality.f1_report(docs).unionByName(clftrain_op.f1_vs_judge(docs))
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401
