@@ -61,16 +61,24 @@ def feature_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return sig.select(*cols)
 
 
-def standardize(feat: DataFrame) -> DataFrame:
-    """z-score every feature with driver-side (mu, sd) literals —
-    one aggregate pass; sd=0 features become constant 0."""
+def fit_stats(feat: DataFrame) -> dict[str, tuple[float, float]]:
+    """Driver-side (mu, sd) per feature — one aggregate pass (10
+    doubles to the driver)."""
     aggs = []
     for n in _FN:
         aggs += [F.avg(n).alias(f"mu_{n}"), F.stddev_pop(n).alias(f"sd_{n}")]
     st = feat.agg(*aggs).collect()[0]
+    return {n: (st[f"mu_{n}"], st[f"sd_{n}"]) for n in _FN}
+
+
+def apply_stats(
+    feat: DataFrame, st: dict[str, tuple[float, float]]
+) -> DataFrame:
+    """z-score with literal (mu, sd); sd=0 features become constant 0
+    (dead weight) instead of NaN-poisoning the gradient."""
     out = feat
     for n in _FN:
-        mu, sd = st[f"mu_{n}"], st[f"sd_{n}"]
+        mu, sd = st[n]
         z = (
             (F.col(n) - F.lit(mu)) / F.lit(sd)
             if sd and sd > 0.0
@@ -80,11 +88,33 @@ def standardize(feat: DataFrame) -> DataFrame:
     return out
 
 
+def standardize(feat: DataFrame) -> DataFrame:
+    """z-score every feature with stats fitted on the same frame."""
+    return apply_stats(feat, fit_stats(feat))
+
+
 def _margin(w: list[float]) -> F.Column:
     m = F.lit(w[0])
     for i, n in enumerate(_FN):
         m = m + F.lit(w[i + 1]) * F.col(n)
     return m
+
+
+def _gd_loop(train_frame: DataFrame, steps: int, eta: float) -> list[float]:
+    """`steps` full-batch GD steps from 0 over a z-scored frame.
+
+    grad_j = avg((sigmoid(w·x) - y) * x_j); w ← w - eta * grad.
+    Only the 6-double gradient ever reaches the driver."""
+    w = [0.0] * (len(_FN) + 1)
+    for _ in range(steps):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w)))
+        err = p - F.col("y")
+        aggs = [F.avg(err).alias("gb")] + [
+            F.avg(err * F.col(n)).alias(f"g{i+1}") for i, n in enumerate(_FN)
+        ]
+        g = train_frame.agg(*aggs).collect()[0]
+        w = [w[j] - eta * g[j] for j in range(len(w))]
+    return w
 
 
 def train(
@@ -94,21 +124,9 @@ def train(
     eta: float = ETA,
 ) -> tuple[list[float], DataFrame]:
     """Returns ([b, w1..w5], z-scored feature frame) after `steps`
-    full-batch GD steps from 0.
-
-    grad_j = avg((sigmoid(w·x) - y) * x_j); w ← w - eta * grad.
-    Only the 6-double gradient ever reaches the driver."""
+    full-batch GD steps from 0."""
     feat = standardize(feature_frame(docs, text_col=text_col)).persist()
-    w = [0.0] * (len(_FN) + 1)
-    for _ in range(steps):
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w)))
-        err = p - F.col("y")
-        aggs = [F.avg(err).alias("gb")] + [
-            F.avg(err * F.col(n)).alias(f"g{i+1}") for i, n in enumerate(_FN)
-        ]
-        g = feat.agg(*aggs).collect()[0]
-        w = [w[j] - eta * g[j] for j in range(len(w))]
-    return w, feat
+    return _gd_loop(feat, steps, eta), feat
 
 
 def train_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -146,10 +164,16 @@ def _margin_sql(wcte: str, frame: str = "featz") -> str:
 
 
 def _train_ctes(
-    d: str, steps: int = K_STEPS, eta: float = ETA, docs: str = "documents"
+    d: str,
+    steps: int = K_STEPS,
+    eta: float = ETA,
+    docs: str = "documents",
+    holdout: bool = False,
 ) -> tuple[list[str], str]:
     """The shared CTE chain: feat → st → featz → w0..w{steps}.
-    Returns (ctes, final_weight_cte_name)."""
+    Returns (ctes, final_weight_cte_name). With holdout=True the feat
+    frame carries the deterministic split column and BOTH the z-score
+    stats and every gradient aggregate see only the train split."""
     sig = quality.signals_sql(d, table=docs, round_out=False)
     keep = quality.keep_sql(d, table=docs)
     fcols = ", ".join(f"{e} AS {n}" for n, e in FEATURE_SQL)
@@ -161,12 +185,20 @@ def _train_ctes(
         f"ELSE 0.0 END AS {n}"
         for n in _FN
     )
+    split_col, split_out, st_from, g_where = "", "", "feat", ""
+    if holdout:
+        from .split import split_expr
+
+        split_col = f"({split_expr(d, 's.doc_id')}) AS split, "
+        split_out = "feat.split, "
+        st_from = "feat WHERE split = 'train'"
+        g_where = " WHERE featz.split = 'train'"
     ctes = [
         f"""feat AS (
-  SELECT CAST(k.keep AS DOUBLE) AS y, {fcols}
+  SELECT {split_col}CAST(k.keep AS DOUBLE) AS y, {fcols}
   FROM ({sig}) s JOIN ({keep}) k ON s.doc_id = k.doc_id)""",
-        f"st AS (SELECT {stat_sel} FROM feat)",
-        f"featz AS (SELECT feat.y, {zcols} FROM feat, st)",
+        f"st AS (SELECT {stat_sel} FROM {st_from})",
+        f"featz AS (SELECT {split_out}feat.y, {zcols} FROM feat, st)",
         "w0 AS (SELECT " + ", ".join(f"0.0 AS {c}" for c in _W) + ")",
     ]
     for k in range(1, steps + 1):
@@ -176,7 +208,9 @@ def _train_ctes(
             f"avg(({p} - featz.y) * featz.{n}) AS g{i+1}"
             for i, n in enumerate(_FN)
         ]
-        ctes.append(f"g{k} AS (SELECT {', '.join(gsel)} FROM featz, {prev})")
+        ctes.append(
+            f"g{k} AS (SELECT {', '.join(gsel)} FROM featz, {prev}{g_where})"
+        )
         wsel = [f"{prev}.b - {eta} * g{k}.gb AS b"] + [
             f"{prev}.w{i+1} - {eta} * g{k}.g{i+1} AS w{i+1}"
             for i in range(len(_FN))
@@ -238,4 +272,64 @@ def f1_oracle_sql(
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         + quality.metrics_select_sql("trained_gd")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Held-out evaluation: fit on the train split, report F1 per split
+# ---------------------------------------------------------------------------
+
+
+def holdout_f1(
+    docs: DataFrame,
+    text_col: str = "text",
+    steps: int = K_STEPS,
+    eta: float = ETA,
+) -> DataFrame:
+    """3 rows (split ∈ train/val/test): confusion + F1 of a classifier
+    fitted ONLY on the deterministic train split — the generalization
+    check that justifies shipping a retrained filter (training-set
+    agreement alone can't: it rewards memorizing the judge).
+
+    Hygiene: z-score stats AND every gradient aggregate see only the
+    train split; val/test rows are standardized with the train stats
+    and only ever scored. Same execution shape as train(): K+1 tiny
+    aggregates over the persisted frame, then one grouped integer
+    reduce for the report."""
+    from .split import assign_split
+
+    sig = quality.with_keep(
+        quality.with_signals(assign_split(docs), text_col=text_col)
+    )
+    cols = [F.col("split"), F.col("keep").cast("double").alias("y")]
+    cols += [F.expr(e).alias(n) for n, e in FEATURE_SQL]
+    feat = sig.select(*cols)
+    st = fit_stats(feat.where(F.col("split") == "train"))
+    featz = apply_stats(feat, st).persist()
+    try:
+        w = _gd_loop(featz.where(F.col("split") == "train"), steps, eta)
+        agg = quality.confusion_counts(
+            featz, _margin(w) >= 0.0, F.col("y") == 1.0, by=["split"]
+        )
+        return quality.metrics_from_confusion(agg, ["split"])
+    finally:
+        featz.unpersist()
+
+
+def holdout_f1_oracle_sql(
+    d: str, steps: int = K_STEPS, eta: float = ETA, docs: str = "documents"
+) -> str:
+    """Replays the train-split-only trajectory, then scores ALL splits
+    with the final weights into per-split confusion + metrics."""
+    ctes, wk = _train_ctes(d, steps=steps, eta=eta, docs=docs, holdout=True)
+    counts = quality.confusion_counts_sql(
+        f"({_margin_sql(wk)}) >= 0.0",
+        "featz.y = 1.0",
+        f"featz, {wk}",
+        by="featz.split",
+    )
+    ctes.append(f"m AS ({counts})")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + quality.metrics_select_sql(None, lead="split")
     )

@@ -416,16 +416,20 @@ FROM clf
 # ---------------------------------------------------------------------------
 
 
-def confusion_counts(df: DataFrame, pred: Column, lab: Column) -> DataFrame:
-    """1-row (n_docs, tp, fp, fn, tn) — four integer counts reduced
-    map-side; the only shuffle is the 1-row final agg."""
-    return df.agg(
+def confusion_counts(
+    df: DataFrame, pred: Column, lab: Column, by: list[str] | None = None
+) -> DataFrame:
+    """(n_docs, tp, fp, fn, tn) — four integer counts reduced
+    map-side; the only shuffle is the tiny final agg (1 row, or one
+    per `by` group)."""
+    aggs = [
         F.count("*").alias("n_docs"),
         F.sum((pred & lab).cast("long")).alias("tp"),
         F.sum((pred & ~lab).cast("long")).alias("fp"),
         F.sum((~pred & lab).cast("long")).alias("fn"),
         F.sum((~pred & ~lab).cast("long")).alias("tn"),
-    )
+    ]
+    return df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
 
 
 def metrics_from_confusion(agg: DataFrame, lead: list[str]) -> DataFrame:
@@ -458,23 +462,33 @@ def f1_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def confusion_counts_sql(pred: str, lab: str, source: str) -> str:
+def confusion_counts_sql(
+    pred: str, lab: str, source: str, by: str | None = None
+) -> str:
     """(n_docs, tp, fp, fn, tn) aggregate over `source` — shared by
-    every predictor-vs-judge oracle."""
+    every predictor-vs-judge oracle. Optional `by` column groups the
+    counts (e.g. per split)."""
+    by_sel = f"{by}, " if by else ""
+    by_group = f"\nGROUP BY {by}" if by else ""
     return f"""
-SELECT CAST(count(*) AS BIGINT) AS n_docs,
+SELECT {by_sel}CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN ({pred}) AND ({lab}) THEN 1 ELSE 0 END) AS BIGINT) AS tp,
        CAST(sum(CASE WHEN ({pred}) AND NOT ({lab}) THEN 1 ELSE 0 END) AS BIGINT) AS fp,
        CAST(sum(CASE WHEN NOT ({pred}) AND ({lab}) THEN 1 ELSE 0 END) AS BIGINT) AS fn,
        CAST(sum(CASE WHEN NOT ({pred}) AND NOT ({lab}) THEN 1 ELSE 0 END) AS BIGINT) AS tn
-FROM {source}
+FROM {source}{by_group}
 """.strip()
 
 
-def metrics_select_sql(predictor: str, m: str = "m") -> str:
-    """Final metric projection over a confusion-count relation `m`."""
+def metrics_select_sql(
+    predictor: str | None, m: str = "m", lead: str | None = None
+) -> str:
+    """Final metric projection over a confusion-count relation `m`.
+    Lead column is either a literal predictor tag or a passthrough
+    expression (e.g. a split column carried through the counts)."""
+    lead_sql = f"'{predictor}' AS predictor" if predictor is not None else lead
     return f"""
-SELECT '{predictor}' AS predictor, n_docs, tp, fp, fn, tn,
+SELECT {lead_sql}, n_docs, tp, fp, fn, tn,
        round(CAST(tp + tn AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS accuracy,
        round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
        round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,

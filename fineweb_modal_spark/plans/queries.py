@@ -3688,5 +3688,16 @@ def q_keepdrop_f1_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.f1_report(docs).unionByName(clftrain_op.f1_vs_judge(docs))
 
 
+@register("clf_holdout_eval", clftrain_op.holdout_f1_oracle_sql(D))
+def q_clf_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization check for the in-engine-trained classifier:
+    fit ONLY on the deterministic 90% train split (z-score stats and
+    gradients both train-split-scoped), then report confusion + F1 per
+    split. The val/test rows justify shipping the retrained filter the
+    way held-out perplexity does for the LM gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return clftrain_op.holdout_f1(docs)
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401

@@ -33,3 +33,17 @@ def test_f1_report_has_one_frozen_row(spark):
     assert len(rows) == 1 and rows[0]["predictor"] == "frozen_logistic"
     r = rows[0]
     assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n_docs"] == 500
+
+
+def test_holdout_f1_splits_and_hygiene(spark):
+    from fineweb_modal_spark.operators import clftrain
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = {r["split"]: r for r in clftrain.holdout_f1(docs).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in rows.values()) == 500
+    # split proportions: train ~90% of the corpus
+    assert rows["train"]["n_docs"] > 400
+    for r in rows.values():
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n_docs"]
+        assert 0.0 <= r["f1"] <= 1.0
