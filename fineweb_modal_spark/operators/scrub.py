@@ -36,3 +36,70 @@ def scrub_sql(col: str, d: str) -> str:
     for _, pattern, repl in scrub_spec.RULES:
         out = sd.regexp_replace_all(out, pattern, repl, d)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Scrub metrics: per-source PII/toxicity hit counts
+# ---------------------------------------------------------------------------
+#
+# The north star asks the scrub stage to emit metrics rows, not just
+# rewritten text. Hits are counted as placeholder occurrences in the
+# FINAL scrubbed text — faithful to the chain semantics (an email
+# swallowed before the phone rule can't double-count) — using pure
+# integer string algebra that renders identically in both dialects:
+# (len(s) - len(replace(s, tag, ''))) / len(tag).
+
+_TAGS = [("email", "<EMAIL>"), ("ipv4", "<IP>"),
+         ("phone", "<PHONE>"), ("toxicity", "<TOX>")]
+
+
+def _tag_count_sql(col: str, tag: str) -> str:
+    return (
+        f"CAST((length({col}) - length(replace({col}, '{tag}', '')))"
+        f" / {len(tag)} AS BIGINT)"
+    )
+
+
+def scrub_stats(
+    df: DataFrame, text_col: str = "text", by: str = "source"
+) -> DataFrame:
+    """Per-group scrub dashboard: docs scanned, docs modified, and
+    hit counts per PII category. One codegen scrub projection + one
+    partial-agg shuffle on the group key — integer-exact everywhere."""
+    s = with_scrubbed(df, text_col=text_col)
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum(
+            (F.col("scrubbed_text")
+             != F.coalesce(F.col(text_col), F.lit(""))).cast("long")
+        ).alias("n_modified"),
+    ]
+    for name, tag in _TAGS:
+        aggs.append(
+            F.sum(F.expr(_tag_count_sql("scrubbed_text", tag))).alias(
+                f"n_{name}"
+            )
+        )
+    return s.groupBy(by).agg(*aggs)
+
+
+def scrub_stats_sql(d: str, table: str = "documents",
+                    text_col: str = "text", by: str = "source") -> str:
+    scr = scrub_sql(f"coalesce({text_col}, '')", d)
+    by_name = by.rsplit(" AS ", 1)[-1].strip()
+    tag_sums = ",\n       ".join(
+        f"CAST(sum({_tag_count_sql('scrubbed_text', tag)}) AS BIGINT)"
+        f" AS n_{name}"
+        for name, tag in _TAGS
+    )
+    return f"""
+WITH s AS (
+  SELECT {by}, coalesce({text_col}, '') AS original,
+         {scr} AS scrubbed_text
+  FROM {table}
+)
+SELECT {by_name}, count(*) AS n_docs,
+       CAST(sum(CASE WHEN scrubbed_text <> original THEN 1 ELSE 0 END) AS BIGINT) AS n_modified,
+       {tag_sums}
+FROM s GROUP BY {by_name}
+""".strip()

@@ -3699,5 +3699,26 @@ def q_clf_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clftrain_op.holdout_f1(docs)
 
 
+_SCRUB_STATS_ORACLE = scrub.scrub_stats_sql(
+    D,
+    table=f"({pages_mod.pages_select_sql(D, with_html=False)}) p",
+    by="regexp_extract(url, 'https://([^./]+)', 1) AS host",
+)
+
+
+@register("scrub_stats", _SCRUB_STATS_ORACLE)
+def q_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub-stage metrics rows (north star: the scrub pass emits
+    metrics, not just rewritten text): per-host docs scanned/modified
+    + hit counts per PII category over the skewed pages corpus,
+    counted as placeholder occurrences in the final text via integer
+    string algebra. One codegen projection + one partial-agg
+    shuffle."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False).withColumn(
+        "host", F.regexp_extract("url", r"https://([^./]+)", 1)
+    )
+    return scrub.scrub_stats(p, by="host")
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401
