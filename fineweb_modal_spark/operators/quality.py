@@ -511,3 +511,70 @@ lab AS ({keep}),
 m AS ({counts})
 {metrics_select_sql('frozen_logistic')}
 """.strip()
+
+
+def calibration_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Reliability diagram for the classifier: per score-decile docs,
+    mean predicted keep probability, empirical keep rate (judge
+    labels), and the calibration gap — discrimination (F1 report) and
+    calibration are separate failure modes and need separate gates.
+
+    Deciles bucket the integer ppm score (floor over exact integers,
+    top bucket merged at 9), so bucket edges carry no float boundary;
+    the two means divide exact integer sums once at the end."""
+    clf = with_keep(with_classifier(df, text_col=text_col))
+    j = clf.select(
+        F.least(
+            F.floor(
+                F.round(F.col("clf_score") * 1000000).cast("bigint")
+                / F.lit(100000)
+            ),
+            F.lit(9),
+        ).cast("bigint").alias("bucket"),
+        F.round(F.col("clf_score") * 1000000).cast("bigint").alias("ppm"),
+        "keep",
+    )
+    b = j.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum("ppm").alias("ppm_sum"),
+    )
+    mean_pred = F.col("ppm_sum").cast("double") / (
+        F.col("n_docs").cast("double") * F.lit(1000000.0)
+    )
+    keep_rate = F.col("n_keep").cast("double") / F.col("n_docs").cast("double")
+    return b.select(
+        "bucket", "n_docs", "n_keep",
+        F.round(mean_pred, 6).alias("mean_pred"),
+        F.round(keep_rate, 6).alias("keep_rate"),
+        F.round(F.abs(mean_pred - keep_rate), 6).alias("gap"),
+    )
+
+
+def calibration_sql(d: str, table: str = "documents",
+                    text_col: str = "text") -> str:
+    clf = classifier_sql(d, table=table, text_col=text_col)
+    keep = keep_sql(d, table=table, text_col=text_col)
+    return f"""
+WITH clf AS ({clf}),
+lab AS ({keep}),
+j AS (
+  SELECT CAST(least(floor(CAST(round(clf.clf_score * 1000000) AS BIGINT)
+              / 100000), 9) AS BIGINT) AS bucket,
+         CAST(round(clf.clf_score * 1000000) AS BIGINT) AS ppm,
+         lab.keep
+  FROM clf JOIN lab ON clf.doc_id = lab.doc_id
+),
+b AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         CAST(sum(ppm) AS BIGINT) AS ppm_sum
+  FROM j GROUP BY bucket
+)
+SELECT bucket, n_docs, n_keep,
+       round(CAST(ppm_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1000000.0), 6) AS mean_pred,
+       round(CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS keep_rate,
+       round(abs(CAST(ppm_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1000000.0)
+             - CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6) AS gap
+FROM b
+""".strip()

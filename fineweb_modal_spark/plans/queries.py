@@ -3720,5 +3720,16 @@ def q_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub.scrub_stats(p, by="host")
 
 
+@register("clf_calibration", quality.calibration_sql(D))
+def q_clf_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the classifier: per score-decile mean
+    predicted keep probability vs empirical judge keep rate + gap —
+    calibration is a separate failure mode from discrimination
+    (keepdrop_f1_report). Integer ppm buckets, one partial-agg
+    shuffle over ≤10 groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality.calibration_report(docs)
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401
