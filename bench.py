@@ -52,6 +52,7 @@ HEADLINE = [
     "token_drift",  # snapshot drift monitor: two-phase unigram histograms
     "ngram_lm_perplexity",  # TRAIN bigram LM on corpus + backoff-score every doc
     "clf_train_gd",  # 10 full-batch GD steps (11 passes, driver-side weights)
+    "edu_centroid_scores",  # semantic admission: centroid train + literal-fold scoring
 ]
 
 
