@@ -68,7 +68,14 @@ def fit_stats(feat: DataFrame) -> dict[str, tuple[float, float]]:
     for n in _FN:
         aggs += [F.avg(n).alias(f"mu_{n}"), F.stddev_pop(n).alias(f"sd_{n}")]
     st = feat.agg(*aggs).collect()[0]
-    return {n: (st[f"mu_{n}"], st[f"sd_{n}"]) for n in _FN}
+
+    # f4/f5 are decimal-typed (the /1000.0 literal), so their avg comes
+    # back as Decimal — coerce to double so the z-score literals (and
+    # the persisted artifact) are IEEE doubles in every engine.
+    def _f(v):
+        return None if v is None else float(v)
+
+    return {n: (_f(st[f"mu_{n}"]), _f(st[f"sd_{n}"])) for n in _FN}
 
 
 def apply_stats(
@@ -332,4 +339,68 @@ def holdout_f1_oracle_sql(
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         + quality.metrics_select_sql(None, lead="split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trained-artifact lifecycle: persist weights + stats, score anywhere
+# ---------------------------------------------------------------------------
+
+
+def save_model(
+    spark, w: list[float], st: dict[str, tuple[float, float]], path: str
+) -> None:
+    """Persist the trained classifier as two tiny parquet relations:
+    weights (1 row) and z-score stats (one row per feature) + meta.
+    The artifact is self-describing — score_with_model needs nothing
+    else — mirroring the ngram-LM train-once/score-anywhere shape."""
+    p = path.rstrip("/")
+    spark.createDataFrame(
+        [tuple(w)], ", ".join(f"{c} double" for c in _W)
+    ).write.mode("overwrite").parquet(f"{p}/weights")
+    spark.createDataFrame(
+        [(n, st[n][0], st[n][1]) for n in _FN],
+        "feature string, mu double, sd double",
+    ).write.mode("overwrite").parquet(f"{p}/stats")
+    spark.createDataFrame(
+        [(K_STEPS, ETA, len(_FN))], "steps int, eta double, n_features int"
+    ).write.mode("overwrite").parquet(f"{p}/meta")
+
+
+def load_model(spark, path: str):
+    """(w, stats) back from save_model's layout — driver-small reads
+    (1 + n_features rows)."""
+    p = path.rstrip("/")
+    wrow = spark.read.parquet(f"{p}/weights").collect()[0]
+    w = [wrow[c] for c in _W]
+    st = {
+        r["feature"]: (r["mu"], r["sd"])
+        for r in spark.read.parquet(f"{p}/stats").collect()
+    }
+    missing = [n for n in _FN if n not in st]
+    if missing:
+        raise ValueError(f"stored stats missing features: {missing}")
+    return w, st
+
+
+def score_with_model(
+    docs: DataFrame,
+    w: list[float],
+    st: dict[str, tuple[float, float]],
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """(key, clf_score, clf_keep) for an arbitrary corpus under a
+    stored model: signals → stored-stats z-score → literal-weight
+    margin — one zero-shuffle codegen projection, no training passes."""
+    sig = quality.with_signals(docs, text_col=text_col)
+    feat = sig.select(
+        F.col(key), *[F.expr(e).alias(n) for n, e in FEATURE_SQL]
+    )
+    z = apply_stats(feat, st)
+    m = _margin(w)
+    return z.select(
+        key,
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-m)), 6).alias("clf_score"),
+        (m >= 0.0).alias("clf_keep"),
     )

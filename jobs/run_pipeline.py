@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
         default="batch",
         choices=[
             "batch", "resume", "incremental", "hygiene",
-            "train-lm", "score-lm",
+            "train-lm", "score-lm", "train-clf", "score-clf",
         ],
     )
     ap.add_argument(
@@ -147,6 +147,45 @@ def main(argv: list[str] | None = None) -> int:
             "mode": "score-lm",
             "rows": back.count(),
             "scored": back.where(F2.col("ppl").isNotNull()).count(),
+        }
+    elif args.mode == "train-clf":
+        # distill the heuristic judge into the logistic classifier on a
+        # documents parquet dir and persist weights + z-score stats —
+        # the artifact score-clf applies to any later corpus.
+        from fineweb_modal_spark.operators import clftrain
+
+        mdir = (args.model or args.output).rstrip("/")
+        docs = spark.read.parquet(args.input)
+        feat = clftrain.feature_frame(docs)
+        st = clftrain.fit_stats(feat)
+        featz = clftrain.apply_stats(feat, st).persist()
+        try:
+            w = clftrain._gd_loop(featz, clftrain.K_STEPS, clftrain.ETA)
+        finally:
+            featz.unpersist()
+        clftrain.save_model(spark, w, st, mdir)
+        out = {
+            "mode": "train-clf",
+            "model_dir": mdir,
+            "weights": [round(x, 6) for x in w],
+        }
+    elif args.mode == "score-clf":
+        # apply a stored classifier to a documents parquet dir: one
+        # zero-shuffle codegen projection per row, no training passes.
+        from pyspark.sql import functions as F2
+
+        from fineweb_modal_spark.operators import clftrain
+
+        w, st = clftrain.load_model(spark, args.model.rstrip("/"))
+        docs = spark.read.parquet(args.input)
+        clftrain.score_with_model(docs, w, st).write.mode(
+            "overwrite"
+        ).parquet(args.output)
+        back = spark.read.parquet(args.output)
+        out = {
+            "mode": "score-clf",
+            "rows": back.count(),
+            "kept": back.where(F2.col("clf_keep")).count(),
         }
     elif args.mode == "incremental":
         from fineweb_modal_spark.streaming import incremental

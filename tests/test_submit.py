@@ -171,3 +171,53 @@ def test_job_train_then_score_lm(spark, tmp_path):
             assert got[k] is None, k
         else:
             assert abs(got[k] - v) < 1e-9, k
+
+
+def test_job_train_then_score_clf(spark, tmp_path):
+    """--mode train-clf persists the distilled classifier (weights +
+    z-score stats); --mode score-clf applies the artifact to a corpus.
+    Scores must equal the in-session train+score path — and the keep
+    bit must agree with quality_classifier-style thresholding."""
+    import os
+
+    import jobs.run_pipeline as job
+    from fineweb_modal_spark.operators import clftrain
+    from fineweb_modal_spark.sources.tables import load_table
+
+    docs_dir = str(tmp_path / "docs")
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    docs.write.parquet(docs_dir)
+
+    mdir = str(tmp_path / "clf_model")
+    rc = job.main(
+        ["--input", docs_dir, "--output", mdir, "--mode", "train-clf"]
+    )
+    assert rc == 0
+    for rel in ("weights", "stats", "meta"):
+        assert os.path.isdir(os.path.join(mdir, rel)), rel
+
+    scores_dir = str(tmp_path / "clf_scores")
+    rc = job.main(
+        ["--input", docs_dir, "--output", scores_dir,
+         "--mode", "score-clf", "--model", mdir]
+    )
+    assert rc == 0
+
+    got = {
+        r.doc_id: (r.clf_score, r.clf_keep)
+        for r in spark.read.parquet(scores_dir).collect()
+    }
+    w, feat = clftrain.train(docs)
+    feat.unpersist()
+    st = clftrain.fit_stats(clftrain.feature_frame(docs))
+    want = {
+        r.doc_id: (r.clf_score, r.clf_keep)
+        for r in clftrain.score_with_model(docs, w, st).collect()
+    }
+    assert set(got) == set(want)
+    n_keep = 0
+    for k, (score, keep) in want.items():
+        assert abs(got[k][0] - score) < 1e-9, k
+        assert got[k][1] == keep, k
+        n_keep += int(keep)
+    assert 0 < n_keep <= len(want)
