@@ -25,6 +25,11 @@ hygiene      the composed five-stage hygiene pass (domain blocklist →
              recency URL keeper → line dedup → quality keep → scrub)
              over a crawl-feed parquet dir (doc_id/url/warc_ts/text),
              committed partitioned like batch.
+train-lm /   fit the bigram LM on a documents dir and persist it as
+score-lm     parquet relations; apply a stored LM to any corpus.
+train-clf /  distill the heuristic judge into the logistic classifier
+score-clf    and persist weights + z-score stats; apply the stored
+             model anywhere as one zero-shuffle codegen projection.
 
 Prints one JSON metrics line to stdout (docs, keep rate, wall
 seconds) — the cluster-side analog of bench.py's contract.
