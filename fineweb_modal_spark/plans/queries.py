@@ -3731,5 +3731,122 @@ def q_clf_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.calibration_report(docs)
 
 
+# ---------------------------------------------------------------------------
+# Full curation decision record: every admission family in ONE row/doc
+# ---------------------------------------------------------------------------
+
+from ..operators import decontam as decontam_op  # noqa: E402
+
+_CUR_GRAMS_CORPUS = decontam_op._gram_sets_expr(
+    decontam_op.N_DECONTAM, D
+).replace(
+    "__T__", "(SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0)"
+)
+_CUR_GRAMS_BENCH = decontam_op._gram_sets_expr(
+    decontam_op.N_DECONTAM, D
+).replace(
+    "__T__", "(SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0)"
+)
+
+_CURATION_ORACLE = f"""
+WITH qk AS ({quality.keep_sql(D)}),
+{similarity.edu_scores_ctes(D)},
+h AS (SELECT doc_id, md5(text) AS th FROM documents),
+mins AS (SELECT th, min(doc_id) AS keeper FROM h GROUP BY th),
+canon AS (SELECT h.doc_id, h.doc_id = m.keeper AS is_canonical
+          FROM h JOIN mins m ON h.th = m.th),
+corpus_sets AS ({_CUR_GRAMS_CORPUS}),
+bench_sets AS ({_CUR_GRAMS_BENCH}),
+bench AS (SELECT DISTINCT unnest(grams) AS g FROM bench_sets),
+cont AS (
+  SELECT DISTINCT cs.doc_id
+  FROM (SELECT doc_id, unnest(grams) AS g FROM corpus_sets) cs
+  JOIN bench b ON b.g = cs.g
+),
+rep AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 97 = 0 THEN 'benchmark_doc'
+              WHEN NOT qk.keep THEN qk.drop_reason
+              WHEN NOT coalesce(e.keep, TRUE) THEN 'low_edu_score'
+              WHEN NOT c.is_canonical THEN 'duplicate'
+              WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+              ELSE NULL END AS reason,
+         qk.keep AS q_keep,
+         coalesce(e.keep, TRUE) AS edu_keep,
+         c.is_canonical,
+         ct.doc_id IS NOT NULL AS contaminated
+  FROM documents d
+  JOIN qk ON qk.doc_id = d.doc_id
+  LEFT JOIN bucketed e ON e.doc_id = d.doc_id
+  JOIN canon c ON c.doc_id = d.doc_id
+  LEFT JOIN cont ct ON ct.doc_id = d.doc_id
+)
+SELECT doc_id, reason IS NULL AS final_keep, q_keep, edu_keep,
+       is_canonical, contaminated, reason
+FROM rep
+""".strip()
+
+
+@register("full_curation_report", _CURATION_ORACLE)
+def q_full_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One decision record per document joining EVERY admission
+    family: heuristic quality battery, semantic edu score (left join
+    — docs without an embedding pass by default), exact-dedup
+    canonical keeper, benchmark holdout + n-gram decontamination.
+    First failing stage names the reason, fixed precedence both
+    dialects. All equi-joins on doc_id (AQE broadcasts the small
+    relations); the gram probe touches only contaminated docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    qk = quality.with_keep(quality.with_signals(docs)).select(
+        "doc_id", "keep", "drop_reason"
+    )
+    cent = similarity.train_edu_centroid(emb)
+    edu = similarity.edu_scores(emb, cent).select(
+        "doc_id", F.col("keep").alias("edu_keep_raw")
+    )
+    h = docs.select("doc_id", F.md5("text").alias("th"))
+    mins = h.groupBy("th").agg(F.min("doc_id").alias("keeper"))
+    canon = h.join(mins, "th").select(
+        "doc_id", (F.col("doc_id") == F.col("keeper")).alias("is_canonical")
+    )
+    bench_docs = docs.where(F.col("doc_id") % 97 == 0).select(
+        "doc_id", "text"
+    )
+    corpus_excl = docs.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "text"
+    )
+    cont = decontam_op.decontaminate(
+        corpus_excl, decontam_op.benchmark_grams(bench_docs)
+    ).select("doc_id", F.lit(True).alias("cont_raw"))
+
+    rep = (
+        docs.select("doc_id")
+        .join(qk, "doc_id")
+        .join(edu, "doc_id", "left")
+        .join(canon, "doc_id")
+        .join(cont, "doc_id", "left")
+        .withColumn("edu_keep", F.coalesce("edu_keep_raw", F.lit(True)))
+        .withColumn("contaminated", F.coalesce("cont_raw", F.lit(False)))
+    )
+    reason = (
+        F.when(F.col("doc_id") % 97 == 0, F.lit("benchmark_doc"))
+        .when(~F.col("keep"), F.col("drop_reason"))
+        .when(~F.col("edu_keep"), F.lit("low_edu_score"))
+        .when(~F.col("is_canonical"), F.lit("duplicate"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
+    )
+    return rep.select(
+        "doc_id",
+        reason.isNull().alias("final_keep"),
+        F.col("keep").alias("q_keep"),
+        "edu_keep",
+        "is_canonical",
+        "contaminated",
+        reason.alias("reason"),
+    )
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401
