@@ -3848,5 +3848,30 @@ def q_full_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDU_STREAM_ORACLE = f"""
+WITH {similarity.edu_scores_ctes(D)}
+SELECT doc_id, edu_cosine, edu_score, keep FROM bucketed
+""".strip()
+
+
+@register("edu_score_stream", _EDU_STREAM_ORACLE)
+def q_edu_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-trained seed centroid applied to an embeddings STREAM —
+    stateless row-local literal fold, append mode, zero stream state.
+    Single-batch AvailableNow source ⇒ the stream must reproduce the
+    batch edu scoring exactly (same CTE oracle, no docs join)."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="gate_edustream_")
+    load_table(spark, sf_dir, "embeddings").write.mode("overwrite").parquet(
+        f"{d}/emb"
+    )
+    return streaming_inc.edu_score_stream(
+        spark, f"{d}/emb", f"{d}/ckpt", query_name=f"gate_edu_{tag}"
+    )
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401

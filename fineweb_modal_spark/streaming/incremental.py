@@ -250,3 +250,34 @@ def lm_score_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def edu_score_stream(
+    spark: SparkSession,
+    emb_dir: str,
+    checkpoint: str,
+    query_name: str = "edu_scores",
+) -> DataFrame:
+    """Train-batch / score-stream for the SEMANTIC admission stage:
+    the seed centroid is frozen from the BATCH view of emb_dir, then a
+    readStream over the same directory scores arriving vectors against
+    it. Scoring is a stateless row-local literal fold (zero shuffle,
+    zero stream state) — append mode, no watermark needed; the
+    centroid is an artifact of the last training run, never recomputed
+    per micro-batch. Same production shape as lm_score_stream."""
+    from ..operators import similarity
+
+    batch = spark.read.parquet(emb_dir)
+    cent = similarity.train_edu_centroid(batch)
+    stream = spark.readStream.schema(batch.schema).parquet(emb_dir)
+    scored = similarity.edu_scores(stream, cent)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -222,3 +222,26 @@ def test_windowed_token_histogram_matches_batch(spark, tmp_path):
     )
     want = {(r.win_start, r.token): r["count"] for r in batch.collect()}
     assert got == want and len(got) >= 6  # >=2 windows x 3 tokens
+
+
+def test_edu_score_stream_equals_batch(spark, tmp_path):
+    """AvailableNow single batch ⇒ the streamed edu scores must equal
+    the batch path under the same frozen centroid."""
+    from fineweb_modal_spark.operators import similarity
+    from fineweb_modal_spark.streaming import incremental as inc
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.write.parquet(str(tmp_path / "emb"))
+    got = {
+        r.doc_id: (r.edu_cosine, r.edu_score, r.keep)
+        for r in inc.edu_score_stream(
+            spark, str(tmp_path / "emb"), str(tmp_path / "ckpt"),
+            query_name="t_edu_stream",
+        ).collect()
+    }
+    cent = similarity.train_edu_centroid(emb)
+    want = {
+        r.doc_id: (r.edu_cosine, r.edu_score, r.keep)
+        for r in similarity.edu_scores(emb, cent).collect()
+    }
+    assert got == want and len(got) == 500
