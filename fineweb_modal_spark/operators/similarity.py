@@ -1440,3 +1440,113 @@ SELECT d2.source,
 FROM bucketed b JOIN documents d2 ON d2.doc_id = b.doc_id
 GROUP BY d2.source
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Nearest-class-mean (Rocchio) assignment over the labeled exemplars
+# ---------------------------------------------------------------------------
+#
+# The multi-class sibling of the edu scorer: one centroid per label
+# (the fixture's 10 classes stand in for topic/domain buckets a
+# curator mixes over), every vector assigned to the class whose mean
+# it is closest to by cosine — the classical nearest-class-mean /
+# Rocchio classifier. Same scale shape as edu: training is one tiny
+# (label, pos) agg + a k×64-row collect; assignment is k row-local
+# literal folds, zero shuffle, whole-stage codegen. Ties break to the
+# smallest label on BOTH engines (struct-max vs window tie-break).
+
+
+def train_class_centroids(emb: DataFrame) -> dict[int, list[float]]:
+    """{label: 64 rounded per-dim means} — k×64 rows to the driver."""
+    rows = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("no labeled vectors to train class centroids")
+    out: dict[int, dict[int, float]] = {}
+    for r in rows:
+        out.setdefault(r["label"], {})[r["pos"]] = float(r["c"])
+    return {
+        lbl: [dims[p] for p in sorted(dims)] for lbl, dims in out.items()
+    }
+
+
+def ncm_assign(emb: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """(vec_id, true_label, pred_label, pred_cos, correct): argmax-
+    cosine class per vector. The k candidate cosines are computed as
+    literal folds and argmax'd via array_max over (cos, -label)
+    structs — field-order comparison makes the tie rule explicit."""
+    entries = []
+    for lbl in sorted(cents):
+        arr = _centroid_array_sql(cents[lbl])
+        cos = (
+            f"({_dot('embedding', arr, S)}) / "
+            f"(({_norm('embedding', S)}) * ({_norm(arr, S)}))"
+        )
+        entries.append(
+            f"struct({cos} AS cos, CAST({-lbl} AS BIGINT) AS neg)"
+        )
+    best = f"array_max(array({', '.join(entries)}))"
+    # stage the argmax struct as a column so the k folds evaluate ONCE
+    # (projecting best.cos and best.neg from the same expr would
+    # otherwise re-run all k dot products per field)
+    staged = emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.expr(best).alias("__best"),
+    )
+    return staged.select(
+        "vec_id",
+        "true_label",
+        (-F.col("__best.neg")).cast("int").alias("pred_label"),
+        F.round(F.col("__best.cos"), 6).alias("pred_cos"),
+    ).withColumn("correct", F.col("pred_label") == F.col("true_label"))
+
+
+def ncm_ctes(d: str, table: str = "embeddings") -> str:
+    """Oracle CTE chain ending in `assigned(vec_id, true_label,
+    pred_label, pred_cos, correct)` — per-label rounded centroids,
+    cosine per (vector, class), window argmax with the same tie rule."""
+    return f"""
+dims AS (
+  SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+  FROM {table}, unnest(generate_series(1, len(embedding))) AS t(i)
+  GROUP BY label, i
+),
+cent AS (SELECT label, list(c ORDER BY pos) AS cv FROM dims GROUP BY label),
+scored AS (
+  SELECT e.vec_id, e.label AS true_label, c.label AS cand,
+         ({_dot('e.embedding', 'c.cv', d)}) /
+         (({_norm('e.embedding', d)}) * ({_norm('c.cv', d)})) AS cos
+  FROM {table} e CROSS JOIN cent c
+),
+ranked AS (
+  SELECT vec_id, true_label, cand, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cand ASC) AS rn
+  FROM scored
+),
+assigned AS (
+  SELECT vec_id, true_label, CAST(cand AS INT) AS pred_label,
+         round(cos, 6) AS pred_cos, cand = true_label AS correct
+  FROM ranked WHERE rn = 1
+)
+""".strip()
+
+
+def ncm_assign_oracle_sql(d: str, table: str = "embeddings") -> str:
+    return f"""
+WITH {ncm_ctes(d, table)}
+SELECT vec_id, true_label, pred_label, pred_cos, correct FROM assigned
+""".strip()
+
+
+def ncm_confusion_oracle_sql(d: str, table: str = "embeddings") -> str:
+    return f"""
+WITH {ncm_ctes(d, table)}
+SELECT true_label, pred_label, count(*) AS n FROM assigned
+GROUP BY true_label, pred_label
+""".strip()

@@ -3873,5 +3873,32 @@ def q_edu_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ncm_assign", similarity.ncm_assign_oracle_sql(D))
+def q_ncm_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean (Rocchio) assignment: one centroid per
+    exemplar label, every vector assigned to its argmax-cosine class
+    — the topic/domain bucket classifier a curator mixes over.
+    Training = k×64-row collect; assignment = k literal folds per
+    row, zero shuffle; ties break to the smallest label on both
+    engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.train_class_centroids(emb)
+    return similarity.ncm_assign(emb, cents)
+
+
+@register("ncm_confusion", similarity.ncm_confusion_oracle_sql(D))
+def q_ncm_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the NCM classifier vs the exemplar labels
+    — the class-separability report for the embedding space (one tiny
+    agg over the zero-shuffle assignment)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.train_class_centroids(emb)
+    return (
+        similarity.ncm_assign(emb, cents)
+        .groupBy("true_label", "pred_label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401

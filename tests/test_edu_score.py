@@ -58,3 +58,23 @@ def test_train_centroid_raises_without_seeds(spark):
         assert "seed" in str(e)
     else:
         raise AssertionError("expected ValueError for empty seed set")
+
+
+def test_ncm_assign_separable_and_tiebreak(spark):
+    # two separable classes on orthogonal axes + one ambiguous vector
+    # exactly between them (tie → smallest label wins)
+    rows = [
+        (1, _vec(1.0), 0), (2, _vec(0.9), 0),
+        (3, _vec(0.0, 1.0), 1), (4, _vec(0.0, 0.9), 1),
+        (5, [0.5] + [0.0] * 62 + [0.5], 9),  # equidistant from 0 and 1
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    cents = similarity.train_class_centroids(emb)
+    assert set(cents) == {0, 1, 9} and len(cents[0]) == _DIMS
+    out = {r["vec_id"]: r for r in similarity.ncm_assign(emb, cents).collect()}
+    assert out[1]["pred_label"] == 0 and out[1]["correct"]
+    assert out[3]["pred_label"] == 1 and out[3]["correct"]
+    # vec 5 IS class 9's centroid, so it matches itself perfectly
+    assert out[5]["pred_label"] == 9 and out[5]["pred_cos"] == 1.0
