@@ -1378,9 +1378,16 @@ def edu_scores(emb: DataFrame, centroid: list[float]) -> DataFrame:
     codegen'd projection, no join against a centroid relation.
     """
     arr = _centroid_array_sql(centroid)
+    dims = len(centroid)
+    # dims guard (same rationale as bucket_expr): a shorter embedding
+    # NULL-pads the zip_with fold and the score/keep silently go NULL
+    # — fail loudly instead of admitting garbage rows by default.
     cos = (
-        f"round(({_dot('embedding', arr, S)}) / "
-        f"(({_norm('embedding', S)}) * ({_norm(arr, S)})), 6)"
+        f"CASE WHEN size(embedding) <> {dims} THEN "
+        f"raise_error(concat('edu centroid is {dims}-dim but embedding "
+        f"has ', CAST(size(embedding) AS STRING), ' dims')) "
+        f"ELSE round(({_dot('embedding', arr, S)}) / "
+        f"(({_norm('embedding', S)}) * ({_norm(arr, S)})), 6) END"
     )
     return (
         emb.select(
@@ -1490,13 +1497,20 @@ def ncm_assign(emb: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
             f"struct({cos} AS cos, CAST({-lbl} AS BIGINT) AS neg)"
         )
     best = f"array_max(array({', '.join(entries)}))"
+    dims = len(next(iter(cents.values())))
+    guarded = (
+        f"CASE WHEN size(embedding) <> {dims} THEN "
+        f"raise_error(concat('class centroids are {dims}-dim but "
+        f"embedding has ', CAST(size(embedding) AS STRING), ' dims')) "
+        f"ELSE {best} END"
+    )
     # stage the argmax struct as a column so the k folds evaluate ONCE
     # (projecting best.cos and best.neg from the same expr would
     # otherwise re-run all k dot products per field)
     staged = emb.select(
         "vec_id",
         F.col("label").alias("true_label"),
-        F.expr(best).alias("__best"),
+        F.expr(guarded).alias("__best"),
     )
     return staged.select(
         "vec_id",

@@ -78,3 +78,19 @@ def test_ncm_assign_separable_and_tiebreak(spark):
     assert out[3]["pred_label"] == 1 and out[3]["correct"]
     # vec 5 IS class 9's centroid, so it matches itself perfectly
     assert out[5]["pred_label"] == 9 and out[5]["pred_cos"] == 1.0
+
+
+def test_dims_guard_raises_loudly(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 32, 0)], "vec_id bigint, embedding array<float>, label int"
+    )
+    for fn in (
+        lambda: similarity.edu_scores(emb, [0.1] * _DIMS).collect(),
+        lambda: similarity.ncm_assign(emb, {0: [0.1] * _DIMS}).collect(),
+    ):
+        try:
+            fn()
+        except Exception as e:
+            assert "64-dim" in str(e)
+        else:
+            raise AssertionError("expected dims-guard raise")
