@@ -3787,15 +3787,7 @@ FROM rep
 """.strip()
 
 
-@register("full_curation_report", _CURATION_ORACLE)
-def q_full_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One decision record per document joining EVERY admission
-    family: heuristic quality battery, semantic edu score (left join
-    — docs without an embedding pass by default), exact-dedup
-    canonical keeper, benchmark holdout + n-gram decontamination.
-    First failing stage names the reason, fixed precedence both
-    dialects. All equi-joins on doc_id (AQE broadcasts the small
-    relations); the gram probe touches only contaminated docs."""
+def _curation_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
@@ -3845,6 +3837,56 @@ def q_full_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_canonical",
         "contaminated",
         reason.alias("reason"),
+    )
+
+
+@register("full_curation_report", _CURATION_ORACLE)
+def q_full_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One decision record per document joining EVERY admission
+    family: heuristic quality battery, semantic edu score (left join
+    — docs without an embedding pass by default), exact-dedup
+    canonical keeper, benchmark holdout + n-gram decontamination.
+    First failing stage names the reason, fixed precedence both
+    dialects. All equi-joins on doc_id (AQE broadcasts the small
+    relations); the gram probe touches only contaminated docs."""
+    return _curation_record(spark, sf_dir)
+
+
+_FUNNEL_ORACLE = f"""
+WITH cur AS (
+{_CURATION_ORACLE}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN reason IS NULL OR reason <> 'benchmark_doc' THEN 1 ELSE 0 END) AS BIGINT) AS after_holdout,
+       CAST(sum(CASE WHEN (reason IS NULL OR reason <> 'benchmark_doc') AND q_keep THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
+       CAST(sum(CASE WHEN (reason IS NULL OR reason <> 'benchmark_doc') AND q_keep AND edu_keep THEN 1 ELSE 0 END) AS BIGINT) AS after_edu,
+       CAST(sum(CASE WHEN (reason IS NULL OR reason <> 'benchmark_doc') AND q_keep AND edu_keep AND is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS after_dedup,
+       CAST(sum(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT) AS admitted
+FROM cur
+""".strip()
+
+
+@register("curation_funnel", _FUNNEL_ORACLE)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel KPI: documents surviving each successive
+    admission stage (holdout → quality → edu → dedup → decontam) as
+    ONE integer row — the yield dashboard a corpus owner reads before
+    anything else. Pure boolean algebra over the decision record; one
+    1-row reduce."""
+    rec = _curation_record(spark, sf_dir)
+    not_bench = F.col("reason").isNull() | (
+        F.col("reason") != F.lit("benchmark_doc")
+    )
+    s2 = not_bench & F.col("q_keep")
+    s3 = s2 & F.col("edu_keep")
+    s4 = s3 & F.col("is_canonical")
+    return rec.agg(
+        F.count("*").alias("n_total"),
+        F.sum(not_bench.cast("long")).alias("after_holdout"),
+        F.sum(s2.cast("long")).alias("after_quality"),
+        F.sum(s3.cast("long")).alias("after_edu"),
+        F.sum(s4.cast("long")).alias("after_dedup"),
+        F.sum(F.col("final_keep").cast("long")).alias("admitted"),
     )
 
 
