@@ -53,6 +53,7 @@ HEADLINE = [
     "ngram_lm_perplexity",  # TRAIN bigram LM on corpus + backoff-score every doc
     "clf_train_gd",  # 10 full-batch GD steps (11 passes, driver-side weights)
     "edu_centroid_scores",  # semantic admission: centroid train + literal-fold scoring
+    "full_curation_report",  # every admission family joined into one decision/doc
 ]
 
 
