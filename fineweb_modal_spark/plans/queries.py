@@ -3928,6 +3928,41 @@ def q_ncm_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ncm_assign(emb, cents)
 
 
+_NCM_OUTLIER_K = 5
+
+_NCM_OUTLIERS_ORACLE = f"""
+WITH {similarity.ncm_ctes(D)},
+ranked_out AS (
+  SELECT vec_id, true_label, pred_label, pred_cos,
+         row_number() OVER (PARTITION BY pred_label
+                            ORDER BY pred_cos ASC, vec_id ASC) AS orank
+  FROM assigned
+)
+SELECT pred_label, orank, vec_id, true_label, pred_cos
+FROM ranked_out WHERE orank <= {_NCM_OUTLIER_K}
+""".strip()
+
+
+@register("ncm_outliers", _NCM_OUTLIERS_ORACLE)
+def q_ncm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class outlier report: the k members FARTHEST from their
+    assigned class mean (lowest cosine, vec_id tie) — the
+    mislabeled/noisy-document finder a curator triages. WindowGroupLimit
+    keeps a partial bottom-k per map task; only k×classes rows
+    survive the shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.train_class_centroids(emb)
+    w = Window.partitionBy("pred_label").orderBy(
+        F.asc("pred_cos"), F.asc("vec_id")
+    )
+    return (
+        similarity.ncm_assign(emb, cents)
+        .withColumn("orank", F.row_number().over(w))
+        .where(F.col("orank") <= _NCM_OUTLIER_K)
+        .select("pred_label", "orank", "vec_id", "true_label", "pred_cos")
+    )
+
+
 @register("ncm_confusion", similarity.ncm_confusion_oracle_sql(D))
 def q_ncm_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the NCM classifier vs the exemplar labels
