@@ -94,3 +94,36 @@ def test_dims_guard_raises_loudly(spark):
             assert "64-dim" in str(e)
         else:
             raise AssertionError("expected dims-guard raise")
+
+
+def test_edu_bucket_monotone_and_bounded(spark):
+    from pyspark.sql import functions as F
+
+    cosines = [round(-1.0 + i * 0.05, 2) for i in range(41)]
+    df = spark.createDataFrame([(c,) for c in cosines], "edu_cosine double")
+    rows = (
+        df.withColumn(
+            "s", F.expr(similarity._edu_bucket_sql("edu_cosine"))
+        )
+        .orderBy("edu_cosine")
+        .collect()
+    )
+    scores = [r["s"] for r in rows]
+    assert all(0 <= s <= 5 for s in scores)
+    assert scores == sorted(scores)  # monotone in cosine
+    assert scores[0] == 0 and scores[-1] == 5
+
+
+def test_curation_funnel_monotone(spark):
+    import fineweb_modal_spark.plans.queries as q
+
+    row = q.queries()["curation_funnel"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    seq = [
+        row["n_total"], row["after_holdout"], row["after_quality"],
+        row["after_edu"], row["after_dedup"], row["admitted"],
+    ]
+    assert seq[0] == 500
+    assert all(a >= b for a, b in zip(seq, seq[1:]))
+    assert row["admitted"] > 0
