@@ -447,6 +447,32 @@ FROM spans
 """
 
 
+_CHUNK_FILTER_ORACLE = f"""
+WITH {_chunk_spans_ctes(20)}
+SELECT doc_id, chunk_index, CAST(e - s AS INT) AS chunk_token_count
+FROM spans WHERE e - s > 50
+"""
+
+
+@register("chunk_filter_short", _CHUNK_FILTER_ORACLE)
+def q_chunk_filter_short(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's namesake predicate at its LITERAL granularity
+    (filter.py:50: chunk_token_count > 50 over chunk rows — the
+    doc-level generalization lives in filter_short_docs). Real
+    mapInPandas chunker, then a codegen filter over its output; the
+    oracle re-derives the window spans relationally and applies the
+    same threshold."""
+    from ..operators.chunker import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.repeat(F.concat("text", F.lit(" ")), 20).alias("text")
+    )
+    chunks = chunk_documents(docs, id_col="doc_id", keep_cols=())
+    return chunks.where(F.col("chunk_token_count") > 50).select(
+        "doc_id", "chunk_index", "chunk_token_count"
+    )
+
+
 @register("chunk_token_ids", _TOKEN_IDS_ORACLE)
 def q_chunk_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1/U2 int-ID mode: the chunker emitting chunk_token_ids
