@@ -1564,3 +1564,39 @@ WITH {ncm_ctes(d, table)}
 SELECT true_label, pred_label, count(*) AS n FROM assigned
 GROUP BY true_label, pred_label
 """.strip()
+
+
+def edu_importance_sample(
+    emb: DataFrame, centroid: list[float], id_col: str = "doc_id"
+) -> DataFrame:
+    """DSIR-flavored SEMANTIC importance resampling: accept each
+    document with probability (edu_cosine+1)/2 via the deterministic
+    md5 coin ('esamp:' salt — independent of the split and classifier
+    sampling coins). The acceptance compare is INTEGER ppm on both
+    engines, so no float boundary flips a sampling decision. Zero
+    shuffle; the soft-filter alternative to the hard edu_score >= 3
+    cut."""
+    scored = edu_scores(emb, centroid)
+    u = (
+        F.expr(H.md5_i64(f"'esamp:' || CAST({id_col} AS STRING)", S))
+        % 1000000
+    )
+    p_ppm = F.round((F.col("edu_cosine") + F.lit(1.0)) * F.lit(500000.0)).cast(
+        "bigint"
+    )
+    return scored.select(
+        id_col,
+        p_ppm.alias("p_ppm"),
+        (u < p_ppm).alias("sampled"),
+    )
+
+
+def edu_importance_sample_oracle_sql(d: str, table: str = "embeddings") -> str:
+    cast_t = "STRING" if d == S else "VARCHAR"
+    u = H.md5_i64(f"'esamp:' || CAST(doc_id AS {cast_t})", d)
+    p = "CAST(round((edu_cosine + 1) * 500000) AS BIGINT)"
+    return f"""
+WITH {edu_scores_ctes(d, table)}
+SELECT doc_id, {p} AS p_ppm, (({u}) % 1000000) < {p} AS sampled
+FROM bucketed
+""".strip()

@@ -3954,6 +3954,19 @@ def q_ncm_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ncm_assign(emb, cents)
 
 
+@register(
+    "edu_importance_sample", similarity.edu_importance_sample_oracle_sql(D)
+)
+def q_edu_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic importance resampling: accept with probability
+    (edu_cosine+1)/2 via the deterministic md5 coin — the soft-filter
+    alternative to the hard edu threshold, integer-ppm compare so no
+    float boundary flips a decision. Zero shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = similarity.train_edu_centroid(emb)
+    return similarity.edu_importance_sample(emb, cent)
+
+
 _NCM_OUTLIER_K = 5
 
 _NCM_OUTLIERS_ORACLE = f"""
