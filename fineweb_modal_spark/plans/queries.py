@@ -3916,6 +3916,25 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("scrub_stats_stream", _SCRUB_STATS_ORACLE)
+def q_scrub_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub-metrics dashboard fed by a pages STREAM: stateless
+    codegen scrub per row, complete-mode per-host counts (state
+    bounded by host cardinality). Single-batch AvailableNow ⇒ must
+    hash-equal the batch scrub_stats oracle."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="gate_scrubstream_")
+    pages_mod.load_pages(spark, sf_dir, with_html=False).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/pages")
+    return streaming_inc.scrub_stats_stream(
+        spark, f"{d}/pages", f"{d}/ckpt", query_name=f"gate_scrub_{tag}"
+    )
+
+
 _EDU_STREAM_ORACLE = f"""
 WITH {similarity.edu_scores_ctes(D)}
 SELECT doc_id, edu_cosine, edu_score, keep FROM bucketed

@@ -281,3 +281,37 @@ def edu_score_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def scrub_stats_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    checkpoint: str,
+    query_name: str = "scrub_stats",
+) -> DataFrame:
+    """Live scrub-metrics dashboard: the per-host PII/toxicity hit
+    counts computed over a pages STREAM — stateless codegen scrub
+    projection per row, complete-mode grouped counts (state bounded by
+    the host cardinality, never the corpus). Single-batch AvailableNow
+    ⇒ hash-equals the batch scrub_stats oracle."""
+    from ..operators import scrub
+
+    batch = spark.read.parquet(pages_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(pages_dir)
+        .withColumn(
+            "host", F.regexp_extract("url", r"https://([^./]+)", 1)
+        )
+    )
+    agg = scrub.scrub_stats(stream, by="host")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
