@@ -3813,6 +3813,13 @@ FROM rep
 """.strip()
 
 
+def curation_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public entry for the per-document curation decision record
+    (quality ∧ edu ∧ exact-dedup ∧ holdout/decontam) — used by the
+    two gates below and by `jobs/run_pipeline.py --mode curate`."""
+    return _curation_record(spark, sf_dir)
+
+
 def _curation_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")

@@ -30,6 +30,9 @@ score-lm     parquet relations; apply a stored LM to any corpus.
 train-clf /  distill the heuristic judge into the logistic classifier
 score-clf    and persist weights + z-score stats; apply the stored
              model anywhere as one zero-shuffle codegen projection.
+curate       the full admission battery (quality ∧ edu ∧ exact-dedup ∧
+             benchmark-holdout/decontam) over an sf-layout dir;
+             admitted docs scrubbed and written, funnel on stdout.
 
 Prints one JSON metrics line to stdout (docs, keep rate, wall
 seconds) — the cluster-side analog of bench.py's contract.
@@ -53,6 +56,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "batch", "resume", "incremental", "hygiene",
             "train-lm", "score-lm", "train-clf", "score-clf",
+            "curate",
         ],
     )
     ap.add_argument(
@@ -152,6 +156,39 @@ def main(argv: list[str] | None = None) -> int:
             "mode": "score-lm",
             "rows": back.count(),
             "scored": back.where(F2.col("ppl").isNotNull()).count(),
+        }
+    elif args.mode == "curate":
+        # the whole admission battery in one command: quality ∧ edu ∧
+        # exact-dedup ∧ benchmark-holdout/decontam over an sf-layout
+        # dir (documents.parquet + embeddings.parquet), admitted docs
+        # scrubbed and written out, funnel metrics on stdout.
+        from pyspark.sql import functions as F2
+
+        from fineweb_modal_spark.operators import scrub as scrub_mod
+        from fineweb_modal_spark.plans import queries as registry
+
+        rec = registry.curation_record(spark, args.input)
+        docs = spark.read.parquet(f"{args.input.rstrip('/')}/documents.parquet")
+        admitted = rec.where(F2.col("final_keep")).select("doc_id")
+        curated = (
+            docs.join(admitted, "doc_id")
+            .withColumn(
+                "scrubbed_text",
+                scrub_mod.scrub_expr(F2.coalesce("text", F2.lit(""))),
+            )
+            .drop("text")
+        )
+        curated.write.mode("overwrite").parquet(args.output)
+        back = spark.read.parquet(args.output)
+        funnel = rec.agg(
+            F2.count("*").alias("n_total"),
+            F2.sum(F2.col("final_keep").cast("long")).alias("admitted"),
+        ).collect()[0]
+        out = {
+            "mode": "curate",
+            "n_total": funnel["n_total"],
+            "admitted": funnel["admitted"],
+            "rows_written": back.count(),
         }
     elif args.mode == "train-clf":
         # distill the heuristic judge into the logistic classifier on a

@@ -221,3 +221,24 @@ def test_job_train_then_score_clf(spark, tmp_path):
         assert got[k][1] == keep, k
         n_keep += int(keep)
     assert 0 < n_keep <= len(want)
+
+
+def test_job_curate_mode(spark, tmp_path):
+    """--mode curate writes the scrubbed admitted corpus and reports
+    the funnel; written rows must equal the decision record's
+    admitted count and carry no raw text column."""
+    import jobs.run_pipeline as job
+    from fineweb_modal_spark.plans import queries as registry
+    from pyspark.sql import functions as F
+
+    out_dir = str(tmp_path / "curated")
+    rc = job.main(["--input", SF, "--output", out_dir, "--mode", "curate"])
+    assert rc == 0
+    back = spark.read.parquet(out_dir)
+    want = (
+        registry.curation_record(spark, SF)
+        .where(F.col("final_keep"))
+        .count()
+    )
+    assert back.count() == want > 0
+    assert "scrubbed_text" in back.columns and "text" not in back.columns
