@@ -98,3 +98,25 @@ def test_q19_part_side_prefilter_reaches_scan(spark):
     plan = _plan(QUERIES["tpch_q19_discounted_revenue"](spark, SF))
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("p_brand" in p for p in pushed), pushed
+
+
+def test_partsupp_derivation_invariants(spark):
+    """The derived partsupp is a valid TPC-H-shaped relation: exactly
+    4 rows per part, (partkey, suppkey) unique, suppkeys inside the
+    supplier key range, costs positive."""
+    from pyspark.sql import functions as F
+
+    from fineweb_modal_spark.plans import tpch
+
+    sf = "/root/testdata/sf0.001"
+    ps = tpch.load_partsupp(spark, sf)
+    n_part = spark.read.parquet(f"{sf}/part.parquet").count()
+    n_supp = spark.read.parquet(f"{sf}/supplier.parquet").count()
+    assert ps.count() == 4 * n_part
+    assert ps.select("ps_partkey", "ps_suppkey").distinct().count() == 4 * n_part
+    row = ps.agg(
+        F.min("ps_suppkey").alias("lo"), F.max("ps_suppkey").alias("hi"),
+        F.min("ps_supplycost").alias("c"), F.min("ps_availqty").alias("q"),
+    ).collect()[0]
+    assert 1 <= row["lo"] and row["hi"] <= n_supp
+    assert row["c"] > 0 and row["q"] >= 1
