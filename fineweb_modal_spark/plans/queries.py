@@ -926,6 +926,24 @@ def q_binpack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binpack.pack_batches(docs, budget=4096)
 
 
+@register(
+    "binpack_deterministic",
+    binpack.pack_oracle_sql(
+        table="documents", count_expr="n_chars", budget=4096, num_parts=32
+    ),
+)
+def q_binpack_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 greedy packing at ORACLE grain: ntile partition assignment
+    replaces sampled range boundaries so the full packing — same
+    greedy core `_greedy_locals` as the scale path — is hash-checked
+    against a DuckDB recursive CTE that replays the loop state
+    (batch_local, cur_max, cur_size) row by row."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("token_count")
+    )
+    return binpack.pack_batches_deterministic(docs, budget=4096)
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming (AvailableNow) — watermarked windowed agg and
 # stateful sessionization materialized to batch results

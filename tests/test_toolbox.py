@@ -121,6 +121,49 @@ def test_binpack_invariants(spark):
         assert all(r.batch_size == len(rows) for r in rows)
 
 
+def test_binpack_deterministic_matches_python_mirror(spark):
+    """The oracle-grain path (explicit ntile partitioning) must equal a
+    pure-Python replay of ntile + the shared greedy core exactly —
+    same batch ids, stats, everything."""
+    budget, num_parts = 4096, 32
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.col("n_chars").alias("token_count")
+    )
+    got = {
+        r.doc_id: (r.batch_id, r.batch_max_tokens, r.batch_size)
+        for r in binpack.pack_batches_deterministic(
+            docs, budget=budget, num_parts=num_parts
+        ).collect()
+    }
+
+    rows = sorted(
+        ((int(r.token_count), int(r.doc_id)) for r in docs.collect())
+    )
+    n = len(rows)
+    # SQL ntile: first (n % k) tiles get ceil(n/k) rows
+    q, rem = divmod(n, num_parts)
+    expected = {}
+    i = 0
+    for part in range(1, num_parts + 1):
+        size = q + (1 if part <= rem else 0)
+        chunk = rows[i : i + size]
+        i += size
+        locals_ = binpack._greedy_locals([c for c, _ in chunk], budget)
+        batches: dict[int, list[int]] = {}
+        for (cnt, did), loc in zip(chunk, locals_):
+            bid = part * binpack.PART_STRIDE + loc
+            batches.setdefault(bid, []).append(cnt)
+            expected[did] = (bid, cnt)
+        for did in [d for _, d in chunk]:
+            bid, _ = expected[did]
+            expected[did] = (
+                bid,
+                max(batches[bid]),
+                len(batches[bid]),
+            )
+    assert got == expected
+
+
 def test_multimodal_decode_matches_pure_python(spark):
     p = pages_mod.load_pages(spark, SF, with_html=True)
     got = {r.doc_id: r for r in multimodal.decode_stub(p).limit(50).collect()}
