@@ -54,6 +54,36 @@ def chunk_output_schema(
     return StructType(fields)
 
 
+def chunk_udtf(use_arrow: bool = True):
+    """The chunker as a real Python UDTF (`pyspark.sql.functions.udtf`,
+    Arrow-optimized) for SQL LATERAL-join consumption:
+
+        SELECT d.doc_id, c.* FROM docs d, LATERAL chunk_windows(d.text) c
+
+    Same window semantics as `chunk_documents` (both call
+    spec/tokenizer.chunk_text). This is the SQL-surface form — a user
+    who lives in spark.sql gets the flagship transform without leaving
+    SQL; `chunk_documents` (mapInPandas, one Python stage, wide rows)
+    stays the scale path for DataFrame pipelines."""
+    from pyspark.sql.functions import udtf
+
+    class ChunkWindows:
+        def eval(self, text: str | None):
+            for ch in tok.chunk_text(text if text is not None else ""):
+                yield ch["chunk_index"], ch["chunk_token_count"]
+
+    return udtf(
+        ChunkWindows,
+        returnType="chunk_index: int, chunk_token_count: int",
+        useArrow=use_arrow,
+    )
+
+
+def register_chunk_udtf(spark, name: str = "chunk_windows") -> str:
+    spark.udtf.register(name, chunk_udtf())
+    return name
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

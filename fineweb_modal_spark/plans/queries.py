@@ -447,6 +447,34 @@ FROM spans
 """
 
 
+_CHUNK_UDTF_ORACLE = f"""
+WITH {_chunk_spans_ctes(20)}
+SELECT doc_id, chunk_index, CAST(e - s AS INT) AS chunk_token_count
+FROM spans
+"""
+
+
+@register("chunk_udtf_lateral", _CHUNK_UDTF_ORACLE)
+def q_chunk_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 via the Spark-4 Python UDTF surface: `udtf(...)` registered
+    and consumed through a SQL LATERAL join — the table-function shape
+    the reference's chunker actually is. Same spec window semantics as
+    the mapInPandas path; oracle re-derives every (chunk_index,
+    chunk_token_count) relationally."""
+    from ..operators.chunker import register_chunk_udtf
+
+    register_chunk_udtf(spark, name="chunk_windows")
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.repeat(F.concat("text", F.lit(" ")), 20).alias("text")
+    ).createOrReplaceTempView("docs_rep_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_index, c.chunk_token_count
+        FROM docs_rep_udtf d, LATERAL chunk_windows(d.text) c
+        """
+    )
+
+
 _CHUNK_FILTER_ORACLE = f"""
 WITH {_chunk_spans_ctes(20)}
 SELECT doc_id, chunk_index, CAST(e - s AS INT) AS chunk_token_count
@@ -886,6 +914,54 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
 
 
+@register(
+    "events_variant",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+       FROM events GROUP BY 1""",
+)
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the Spark-4 VARIANT type:
+    parse_json shreds once into a binary variant column, then typed
+    path extraction (try_variant_get) feeds the agg — the
+    open-schema path for event/metadata columns whose keys drift
+    across crawls (vs from_json's fixed struct in
+    events_json_struct)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.withColumn("v", F.parse_json("props"))
+    return v.groupBy(
+        F.try_variant_get("v", "$.k", "bigint").alias("k")
+    ).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+
+
+@register(
+    "summary_pipe_sql",
+    """SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents WHERE n_chars > 100
+       GROUP BY source HAVING count(*) > 1""",
+)
+def q_summary_pipe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-4 SQL pipe dialect (`|>` operator chaining) compiles
+    to the same Catalyst plan as the ANSI form — gate proves the
+    dialect surface exists and agrees with the classic oracle."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_pipe"
+    )
+    return spark.sql(
+        """
+        FROM documents_pipe
+        |> WHERE n_chars > 100
+        |> AGGREGATE COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars
+           GROUP BY source
+        |> WHERE n_docs > 1
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary plumbing (metadata oracle-checked; decode stubbed
 # deterministically and ALSO oracle-checked via its closed form)
@@ -975,6 +1051,37 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(f"{d}/events")
     return streaming_inc.hourly_event_counts(
         spark, f"{d}/events", f"{d}/ckpt", query_name=f"gate_hourly_{tag}"
+    )
+
+
+_ATTRIB_STREAM_ORACLE = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       date_diff('second', v.ts, p.ts) AS lag_s,
+       round(p.value, 6) AS purchase_value
+FROM events v JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+"""
+
+
+@register("events_attrib_stream_join", _ATTRIB_STREAM_ORACLE)
+def q_events_attrib_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (view→purchase
+    attribution within 30 min per user), AvailableNow to a memory
+    sink. Inner matches are emitted as found — the watermark only
+    bounds join state — so a single-batch run must hash-equal the
+    batch interval join the DuckDB oracle runs."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="gate_attrib_")
+    spark.read.parquet(table_path(sf_dir, "events")).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/events")
+    return streaming_inc.attribution_join_stream(
+        spark, f"{d}/events", f"{d}/ckpt", query_name=f"gate_attrib_{tag}"
     )
 
 
@@ -1150,6 +1257,77 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    return spark.table(name)
+
+
+def _has_protobuf() -> bool:
+    # transformWithStateInPandas drives its state-server protocol over
+    # protobuf; without the package the driver worker crashes at import
+    # (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). Gate the query's
+    # registration so offline containers never ship a crashing gate —
+    # same env-gating discipline as the Iceberg writeTo branch.
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _register_tws(fn):
+    if _has_protobuf():
+        return register("sessionize_stream_tws", _SESSION_STREAM_ORACLE)(fn)
+    return fn
+
+
+@_register_tws
+def q_sessionize_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME gap-sessionization on Spark 4's new arbitrary-stateful
+    API (transformWithStateInPandas: typed ValueState + explicit
+    event-time timers, RocksDB state store) — hash-gated against the
+    identical emission-rule oracle as the applyInPandasWithState
+    form, so the two stateful APIs are pinned to one semantics.
+    Registered only when protobuf is importable (the API's transport
+    dependency); offline it stays a library function with a skipping
+    test (tests/test_streaming.py::test_sessionize_tws_matches_batch)."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="gate_sesstws_")
+    spark.read.parquet(table_path(sf_dir, "events")).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/events")
+    schema = spark.read.parquet(f"{d}/events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{d}/events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    name = f"gate_sessions_tws_{tag}"
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_conf, None)
+    spark.conf.set(
+        provider_conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            streaming_sess.sessionize_stream_tws(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, prev)
     return spark.table(name)
 
 
@@ -2410,6 +2588,31 @@ def q_arrow_ipc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = arrow_ipc.read_arrow_ipc(
         spark, out, columns=["doc_id", "text", "source"]
     )
+    return df.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+@register("arrow_ipc_datasource", _ARROW_IPC_ORACLE)
+def q_arrow_ipc_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard scan through the PySpark-4 Python Data Source API:
+    registered format, `spark.read.format("arrow_ipc").load(dir)`,
+    one InputPartition per shard, executor-side RecordBatch yield.
+    Same losslessness oracle as `arrow_ipc_scan` — the two scan
+    implementations must agree with the parquet original."""
+    import tempfile
+
+    from ..sources import arrow_ipc
+    from ..sources.tables import table_path
+
+    out = tempfile.mkdtemp(prefix="gate_arrowds_")
+    arrow_ipc.write_arrow_shards(
+        table_path(sf_dir, "documents"), out, n_shards=4
+    )
+    arrow_ipc.register_arrow_ipc_datasource(spark)
+    df = spark.read.format("arrow_ipc").load(out)
     return df.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.length("text")).alias("n_chars"),

@@ -88,6 +88,64 @@ def read_arrow_ipc(
     return files.mapInPandas(scan, schema=spark_schema)
 
 
+def make_arrow_ipc_datasource():
+    """The same shard scan as a REAL Spark data source (PySpark 4
+    Python Data Source API): `spark.dataSource.register(...)`, then
+
+        spark.read.format("arrow_ipc").load(shard_dir)
+
+    One `InputPartition` per shard file (the splittability contract of
+    stream-format IPC — parallelism is file-granular, identical to
+    `read_arrow_ipc`), and `read()` yields pyarrow RecordBatches
+    directly — the Arrow-native fast path; no pandas hop, no row
+    materialization. The driver touches only file names + one schema
+    header. Built inside a factory so importing this module never
+    requires the pyspark.sql.datasource symbols at module load."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _Reader(DataSourceReader):
+        def __init__(self, paths: list[str]):
+            self._paths = paths
+
+        def partitions(self):
+            return [InputPartition(p) for p in self._paths]
+
+        def read(self, partition):
+            r = _open_reader(partition.value)
+            if hasattr(r, "num_record_batches"):
+                for i in range(r.num_record_batches):
+                    yield r.get_batch(i)
+            else:
+                yield from r
+
+    class _ArrowIPC(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "arrow_ipc"
+
+        def schema(self):
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            path = self.options.get("path")
+            if not path:
+                raise ValueError("arrow_ipc requires .load(<shard_dir>)")
+            return from_arrow_schema(_open_reader(list_shards(path)[0]).schema)
+
+        def reader(self, schema):
+            return _Reader(list_shards(self.options["path"]))
+
+    return _ArrowIPC
+
+
+def register_arrow_ipc_datasource(spark: SparkSession) -> str:
+    spark.dataSource.register(make_arrow_ipc_datasource())
+    return "arrow_ipc"
+
+
 def write_arrow_shards(
     parquet_path: str, out_dir: str, n_shards: int = 4
 ) -> list[str]:

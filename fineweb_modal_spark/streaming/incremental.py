@@ -128,6 +128,95 @@ def dedup_stream(
     return int(progress["numInputRows"]) if progress else 0
 
 
+def attribution_join_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint: str,
+    query_name: str = "attrib_join",
+    trigger_type: str = "view",
+    target_type: str = "purchase",
+    horizon_minutes: int = 30,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join — the one Structured
+    Streaming join class the rest of the module doesn't exercise
+    (everything else is stream-static or single-stream stateful).
+
+    Attribution semantics: every `target_type` event joins to each of
+    the same user's `trigger_type` events that happened within
+    `horizon_minutes` BEFORE it — a crawl pipeline uses the identical
+    shape to pair fetch-results with their frontier-dispatch events.
+
+    Both sides carry an event-time watermark and the join predicate
+    carries a two-sided time bound, so each side's buffered state is
+    evicted once the opposite watermark passes the horizon — bounded
+    state regardless of stream length, the production requirement.
+    Inner-join matches are emitted as found (the watermark only
+    gates eviction, not emission), so a single-batch AvailableNow run
+    equals the batch join exactly — which is what the gate's DuckDB
+    oracle checks; `max_files_per_trigger` forces multi-batch runs so
+    tests can prove matches survive ACROSS micro-batches on buffered
+    state. Scale shape: one state-store exchange per side on user_id,
+    no other shuffle."""
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(events_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    views = (
+        ev.where(F.col("event_type") == trigger_type)
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    buys = (
+        ev.where(F.col("event_type") == target_type)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = (
+        views.join(
+            buys,
+            F.expr(
+                "user_id = p_user_id AND "
+                "purchase_ts >= view_ts AND "
+                f"purchase_ts <= view_ts + interval {int(horizon_minutes)} minutes"
+            ),
+            "inner",
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            (
+                F.col("purchase_ts").cast("long")
+                - F.col("view_ts").cast("long")
+            ).alias("lag_s"),
+            F.round("purchase_value", 6).alias("purchase_value"),
+        )
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def weekly_distinct_sketch(
     spark: SparkSession,
     events_dir: str,

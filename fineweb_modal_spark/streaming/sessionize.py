@@ -90,3 +90,90 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def _closed_frame(rows: list[tuple]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [c[0] for c in rows],
+            "session_start": [pd.Timestamp(c[1], unit="us") for c in rows],
+            "session_end": [pd.Timestamp(c[2], unit="us") for c in rows],
+            "n_events": [c[3] for c in rows],
+        }
+    )
+
+
+def make_session_processor():
+    """Same gap-sessionization on the NEW arbitrary-stateful API
+    (`transformWithStateInPandas`, Spark 4): typed ValueState instead
+    of a bare tuple, explicit event-time timers instead of
+    setTimeoutTimestamp. One timer per key (re-registered on every
+    input batch at last_event + GAP), so an expired timer always refers
+    to the live trailing session. Semantics — including the trailing-
+    session emission rule — match `sessionize_stream`, and the gate
+    checks both against the SAME oracle."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState("session", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            ts_us: list[int] = []
+            for pdf in rows:
+                ts_us.extend(
+                    int(v.value // 1000) for v in pd.to_datetime(pdf["ts"])
+                )
+            ts_us.sort()
+            closed: list[tuple] = []
+            cur = list(self._state.get()) if self._state.exists() else None
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            for t in ts_us:
+                if cur is None:
+                    cur = [t, t, 0]
+                elif t - cur[1] > SESSION_GAP_S * _US:
+                    closed.append((user_id, cur[0], cur[1], cur[2]))
+                    cur = [t, t, 0]
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+            if cur is not None:
+                self._state.update(tuple(cur))
+                self._handle.registerTimer(
+                    cur[1] // 1000 + SESSION_GAP_S * 1000
+                )
+            if closed:
+                yield _closed_frame(closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            if self._state.exists():
+                start_us, last_us, n = self._state.get()
+                if (
+                    expiredTimerInfo.getExpiryTimeInMs()
+                    >= last_us // 1000 + SESSION_GAP_S * 1000
+                ):
+                    self._state.clear()
+                    yield _closed_frame([(user_id, start_us, last_us, n)])
+
+        def close(self) -> None:
+            pass
+
+    return SessionProcessor()
+
+
+def sessionize_stream_tws(events: DataFrame) -> DataFrame:
+    """`sessionize_stream` on transformWithStateInPandas. Requires the
+    RocksDB state store provider (the API's backing store)."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=make_session_processor(),
+            outputStructType=OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

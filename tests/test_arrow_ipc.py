@@ -42,3 +42,38 @@ def test_file_format_and_column_pruning(spark, tmp_path):
     assert got.count() == table.num_rows
     s = got.agg(F.sum("doc_id")).first()[0]
     assert s == sum(table.column("doc_id").to_pylist())
+
+
+def test_python_datasource_matches_parquet(spark, tmp_path):
+    """The registered `arrow_ipc` format (Python Data Source API) must
+    be lossless vs the parquet original and partition one task per
+    shard file."""
+    out = str(tmp_path / "shards_ds")
+    arrow_ipc.write_arrow_shards(table_path(SF, "documents"), out, n_shards=3)
+    arrow_ipc.register_arrow_ipc_datasource(spark)
+    got = spark.read.format("arrow_ipc").load(out)
+    want = spark.read.parquet(table_path(SF, "documents"))
+    assert got.schema == want.schema
+    assert got.rdd.getNumPartitions() == 3
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_python_datasource_mixed_ipc_formats(spark, tmp_path):
+    """File-format (ARROW1 magic) and stream-format shards coexist in
+    one directory; the data source reads both."""
+    table = pq.read_table(table_path(SF, "documents"))
+    half = table.num_rows // 2
+    with pa.ipc.new_file(
+        str(tmp_path / "data-00000-of-00002.arrow"), table.schema
+    ) as w:
+        w.write_table(table.slice(0, half))
+    with pa.ipc.new_stream(
+        str(tmp_path / "data-00001-of-00002.arrow"), table.schema
+    ) as w:
+        w.write_table(table.slice(half))
+    arrow_ipc.register_arrow_ipc_datasource(spark)
+    got = spark.read.format("arrow_ipc").load(str(tmp_path))
+    assert got.count() == table.num_rows
+    assert got.select(F.sum("doc_id")).first()[0] == sum(
+        table.column("doc_id").to_pylist()
+    )

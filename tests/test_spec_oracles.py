@@ -47,6 +47,31 @@ def test_chunker_matches_oracle(spark):
     assert got == want
 
 
+def test_chunk_udtf_matches_mapinpandas(spark):
+    """The SQL-surface UDTF (LATERAL join) and the mapInPandas scale
+    path must emit identical (doc_id, chunk_index, chunk_token_count)
+    sets — same spec core, two Spark surfaces."""
+    from fineweb_modal_spark.operators.chunker import register_chunk_udtf
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(EDGE_TEXTS)], "doc_id long, text string"
+    )
+    register_chunk_udtf(spark, name="t_chunk_windows")
+    df.createOrReplaceTempView("t_udtf_docs")
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT d.doc_id, c.chunk_index, c.chunk_token_count "
+            "FROM t_udtf_docs d, LATERAL t_chunk_windows(d.text) c"
+        ).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.chunk_index, r.chunk_token_count)
+        for r in chunk_documents(df).collect()
+    )
+    assert got == want and len(got) > len(EDGE_TEXTS)
+
+
 def test_chunker_tail_semantics():
     # 901 tokens → [0,500) + [450,901) (validate.ipynb cell 14)
     assert tok.chunk_tokens(901) == [(0, 500), (450, 901)]

@@ -5,6 +5,7 @@ checkpoint), watermarked windowed agg, stateful sessionization.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from fineweb_modal_spark.plans import pipeline as pl
 from fineweb_modal_spark.sources import pages as pages_mod
@@ -62,6 +63,79 @@ def test_hourly_event_counts_matches_batch(spark, tmp_path):
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
     )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def _batch_attribution(spark, events_dir):
+    ev = spark.read.parquet(events_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    v = ev.where("event_type = 'view'").selectExpr(
+        "event_id AS view_id", "user_id", "ts AS view_ts"
+    )
+    p = ev.where("event_type = 'purchase'").selectExpr(
+        "event_id AS purchase_id",
+        "user_id AS p_user_id",
+        "ts AS purchase_ts",
+        "value AS purchase_value",
+    )
+    return (
+        v.join(
+            p,
+            F.expr(
+                "user_id = p_user_id AND purchase_ts >= view_ts "
+                "AND purchase_ts <= view_ts + interval 30 minutes"
+            ),
+        )
+        .selectExpr(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            "CAST(purchase_ts AS LONG) - CAST(view_ts AS LONG) AS lag_s",
+            "round(purchase_value, 6) AS purchase_value",
+        )
+    )
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    from fineweb_modal_spark.sources.tables import table_path
+
+    events_dir = str(tmp_path / "events")
+    spark.read.parquet(table_path(SF, "events")).write.parquet(events_dir)
+    got = incremental.attribution_join_stream(
+        spark, events_dir, str(tmp_path / "ck"), query_name="t_attrib"
+    )
+    want = _batch_attribution(spark, events_dir)
+    assert want.count() > 0
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_stream_stream_join_matches_across_micro_batches(spark, tmp_path):
+    """Views land in micro-batch 1, purchases in micro-batch 2
+    (maxFilesPerTrigger=1 over two single-type files): every match
+    must come off the join's buffered state across batches, and the
+    result must still equal the batch interval join."""
+    from fineweb_modal_spark.sources.tables import table_path
+
+    events_dir = str(tmp_path / "events")
+    ev = spark.read.parquet(table_path(SF, "events"))
+    ev.where("event_type = 'view'").coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+    ev.where("event_type = 'purchase'").coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+    got = incremental.attribution_join_stream(
+        spark,
+        events_dir,
+        str(tmp_path / "ck"),
+        query_name="t_attrib_mb",
+        max_files_per_trigger=1,
+    )
+    want = _batch_attribution(spark, events_dir)
+    assert want.count() > 0
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
 
@@ -245,3 +319,47 @@ def test_edu_score_stream_equals_batch(spark, tmp_path):
         for r in similarity.edu_scores(emb, cent).collect()
     }
     assert got == want and len(got) == 500
+
+
+def test_sessionize_tws_matches_applyinpandas(spark, tmp_path):
+    """transformWithStateInPandas sessionization must emit the SAME
+    closed sessions as the applyInPandasWithState form (one emission
+    rule, two stateful APIs). Skips offline: the TWS state-server
+    protocol needs protobuf, absent in this container."""
+    pytest.importorskip("google.protobuf")
+    from fineweb_modal_spark.sources.tables import table_path
+
+    events_dir = str(tmp_path / "events")
+    spark.read.parquet(table_path(SF, "events")).write.parquet(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+
+    def start(fn, name, ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(events_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        q = (
+            fn(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {tuple(r) for r in spark.table(name).collect()}
+
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        prov,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = start(sessionize.sessionize_stream_tws, "t_tws", "ck_tws")
+    finally:
+        spark.conf.unset(prov)
+    want = start(sessionize.sessionize_stream, "t_aip", "ck_aip")
+    assert got == want and len(want) > 0
