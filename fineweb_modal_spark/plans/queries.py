@@ -4263,5 +4263,263 @@ def q_ncm_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Built-in session windows (F.session_window), batch + streaming — the
+# declarative counterpart of the custom applyInPandasWithState operator.
+# NOTE the boundary rule differs from the custom sessionize gates on
+# purpose: session_window merges an event iff ts < last + gap at FULL
+# microsecond precision (new session when the gap is >= 30 min), while
+# the custom operator uses the spec's second-truncated > 1800 rule.
+# Each gate's oracle mirrors its own operator's exact rule.
+# ---------------------------------------------------------------------------
+
+_SESSION_WINDOW_CTES = """
+g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+),
+sess AS (
+  SELECT user_id, min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         count(*) AS n_events
+  FROM s GROUP BY user_id, sid
+)
+""".strip()
+
+_SESSION_WINDOW_ORACLE = f"""
+WITH {_SESSION_WINDOW_CTES}
+SELECT user_id, session_start, session_end, n_events FROM sess
+"""
+
+
+@register("session_window_agg", _SESSION_WINDOW_ORACLE)
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via the BUILT-IN session window
+    (`F.session_window`, 30-min gap): one hash-agg with session-merge,
+    no window functions, no Python — Catalyst's native form of the
+    operator the custom sessionize gates implement by hand. window.end
+    is last event + gap by definition; the oracle re-derives both
+    bounds microsecond-exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_SESSION_WINDOW_STREAM_ORACLE = f"""
+WITH {_SESSION_WINDOW_CTES},
+wm AS (
+  SELECT (epoch_ms(max(ts)) - 1800000) * 1000 AS wm_us FROM events
+)
+SELECT user_id, session_start, session_end, n_events
+FROM sess, wm WHERE epoch_us(session_end) < wm_us
+"""
+
+
+@register("session_window_stream", _SESSION_WINDOW_STREAM_ORACLE)
+def q_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME built-in session window on a watermarked stream
+    (append mode, AvailableNow): Spark's native streaming session
+    aggregation merges per-user windows across micro-batches in the
+    state store and emits a window once the watermark passes its end.
+    Oracle = the batch session relation filtered by that exact
+    emission rule (final watermark = max ts − 30 min, ms-truncated)."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="gate_swstream_")
+    spark.read.parquet(table_path(sf_dir, "events")).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/events")
+    schema = spark.read.parquet(f"{d}/events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{d}/events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    name = f"gate_swstream_{tag}"
+    q = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# The complement of _SESSION_STREAM_ORACLE's emission rule: what the
+# sessionize stream is still HOLDING when the run terminates — each
+# user's trailing session whose close timer (last + gap) has not
+# passed the final watermark.
+_SESSION_STATE_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), sess AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+         CAST(count(*) AS INT) AS n_events
+  FROM s GROUP BY user_id, sid
+), marked AS (
+  SELECT *, (sid = max(sid) OVER (PARTITION BY user_id)) AS is_final
+  FROM sess
+), wm AS (
+  SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events
+)
+SELECT user_id, session_start, session_end, n_events
+FROM marked, wm
+WHERE is_final AND epoch_ms(session_end) + 1800000 >= wm_ms
+"""
+
+
+@register("session_state_inspect", _SESSION_STATE_ORACLE)
+def q_session_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational state inspection: run the stateful sessionize
+    stream, then read its LIVE state store back through Spark 4's
+    `statestore` data source — the on-call view of what a stateful
+    query is buffering. The oracle derives the exact expected state
+    (open trailing sessions, the complement of the emitted set), so
+    this gate pins BOTH the state layout and the eviction rule."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="gate_sessstate_")
+    spark.read.parquet(table_path(sf_dir, "events")).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/events")
+    schema = spark.read.parquet(f"{d}/events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{d}/events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        streaming_sess.sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName(f"gate_sessstate_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return streaming_sess.read_session_state(spark, f"{d}/ckpt")
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): redirect-chain collapse —
+# the crawl-frontier operator that folds 301-chains onto their final
+# target before URL dedup. The chain relation is acyclic by
+# construction (every hop strictly increases doc_id), so UNION ALL
+# recursion terminates; the IDENTICAL SQL text runs on both engines.
+# ---------------------------------------------------------------------------
+
+_REDIRECT_CHAINS_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst
+  FROM documents WHERE doc_id % 11 < 7
+),
+hop AS (
+  SELECT src AS origin, dst AS cur, 1 AS depth FROM edges
+  UNION ALL
+  SELECT h.origin, e.dst, h.depth + 1
+  FROM hop h JOIN edges e ON e.src = h.cur
+)
+SELECT origin AS src_doc_id, max(cur) AS final_doc_id,
+       CAST(max(depth) AS INT) AS n_hops
+FROM hop GROUP BY origin
+"""
+
+
+@register("redirect_chains", _REDIRECT_CHAINS_SQL)
+def q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE on Spark 4: resolve synthetic redirect chains
+    (doc_id → doc_id+1 while doc_id % 11 < 7, chains up to 7 hops) to
+    their final target + hop count. Declarative iteration — the same
+    class of computation dedup_clusters does with a driver loop — and
+    the oracle is the VERBATIM same SQL text on DuckDB. At scale each
+    recursion step is one shuffle join on the (narrow) frontier
+    relation only; the bulk corpus is never rescanned."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_REDIRECT_CHAINS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt (df.unpivot ⇄ UNION-ALL oracle): wide metrics → long
+# ---------------------------------------------------------------------------
+
+_QUALITY_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n_docs,
+         round(avg(n_chars), 6) AS avg_chars,
+         CAST(max(n_chars) AS DOUBLE) AS max_chars
+  FROM documents GROUP BY source
+)
+SELECT source, 'n_docs' AS metric, n_docs AS value FROM wide
+UNION ALL
+SELECT source, 'avg_chars' AS metric, avg_chars AS value FROM wide
+UNION ALL
+SELECT source, 'max_chars' AS metric, max_chars AS value FROM wide
+"""
+
+
+@register("quality_unpivot", _QUALITY_UNPIVOT_ORACLE)
+def q_quality_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt via the native UNPIVOT operator (df.unpivot):
+    per-source corpus metrics as (source, metric, value) rows — the
+    shape every metrics dashboard ingests. One agg + a zero-shuffle
+    Expand node; the oracle is the portable UNION-ALL rendering."""
+    docs = load_table(spark, sf_dir, "documents")
+    wide = docs.groupBy("source").agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.max("n_chars").cast("double").alias("max_chars"),
+    )
+    return wide.unpivot(
+        "source", ["n_docs", "avg_chars", "max_chars"], "metric", "value"
+    )
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401

@@ -177,3 +177,26 @@ def sessionize_stream_tws(events: DataFrame) -> DataFrame:
             timeMode="EventTime",
         )
     )
+
+
+def read_session_state(spark, checkpoint: str) -> DataFrame:
+    """Inspect the LIVE sessionize state through Spark 4's state-store
+    data source (`spark.read.format("statestore")`): one row per open
+    (not-yet-emitted) session the stream is holding — the operational
+    view an on-call engineer reads to answer "what is this stateful
+    query buffering right now" without touching the job. The layout is
+    the applyInPandasWithState STATE_SCHEMA (start_us, last_us, n)
+    keyed by user_id; timestamps come back as real timestamps. By the
+    sessionize emission rule, after an availableNow run this relation
+    is exactly each user's trailing session whose close timer
+    (last + GAP) has not passed the final watermark (max ts - GAP)."""
+    from pyspark.sql import functions as F
+
+    st = spark.read.format("statestore").load(checkpoint)
+    g = "value.groupState"
+    return st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.timestamp_micros(F.col(f"{g}.start_us")).alias("session_start"),
+        F.timestamp_micros(F.col(f"{g}.last_us")).alias("session_end"),
+        F.col(f"{g}.n").alias("n_events"),
+    )

@@ -94,3 +94,58 @@ def test_ngram_lm_scoring_joins_are_broadcast(spark):
 
     keys = re.findall(r"Exchange hashpartitioning\(([a-z_0-9#]+)", plan)
     assert set(keys) <= {"tok", "w1", "doc_id"}, keys
+
+
+def test_session_window_is_single_agg_no_python(spark):
+    """Built-in session windows must compile to ONE hash-partition
+    exchange on the session keys with native session-merge — no window
+    functions, no Python stage (the whole point vs the custom op)."""
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    plan = _plan(df)
+    assert plan.count("+- Exchange") == 1, plan[:2000]
+    assert "MergingSessions" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    for node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
+                 "MapInPandas"):
+        assert node not in plan, plan[:2000]
+
+
+def test_unpivot_is_expand_zero_extra_shuffle(spark):
+    """df.unpivot lowers to an Expand node on top of the agg — the
+    melt itself must not add an exchange."""
+    docs = spark.createDataFrame(
+        [(1, "s0", 10)], "doc_id long, source string, n_chars long"
+    )
+    wide = docs.groupBy("source").agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.max("n_chars").cast("double").alias("max_chars"),
+    )
+    melted = wide.unpivot("source", ["n_docs", "max_chars"], "metric", "value")
+    plan = _plan(melted)
+    assert "Expand" in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == _plan(wide).count(
+        "Exchange hashpartitioning"
+    ), plan[:2000]
+
+
+def test_redirect_chains_recursion_shuffles_frontier_only(spark):
+    """Each WITH RECURSIVE step joins the frontier to the narrow edge
+    relation; the documents scan must be pruned to doc_id only (the
+    text column never enters the loop)."""
+    from fineweb_modal_spark.plans.queries import _REDIRECT_CHAINS_SQL
+    from fineweb_modal_spark.sources.tables import load_table
+
+    load_table(spark, "/root/testdata/sf0.001", "documents"
+               ).createOrReplaceTempView("documents")
+    plan = _plan(spark.sql(_REDIRECT_CHAINS_SQL))
+    assert "UnionLoop" in plan, plan[:2000]
+    import re
+
+    for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        assert "text" not in m, plan[:3000]
