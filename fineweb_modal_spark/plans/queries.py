@@ -4521,5 +4521,165 @@ def q_quality_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# dropDuplicatesWithinWatermark: the BOUNDED-STATE streaming dedup.
+# Plain dropDuplicates(url) keeps every key forever (state = all urls
+# ever seen); keying by (url, ts) bounds state but stops dropping
+# recrawls whose timestamp differs. WithinWatermark drops duplicate
+# KEYS regardless of event-time difference while holding each key
+# only until the watermark passes it — the production recrawl-dedup.
+# ---------------------------------------------------------------------------
+
+_URL_WM_DEDUP_ORACLE = f"""
+WITH pages AS ({pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)})
+SELECT DISTINCT {urldedup.normalize_sql("url", sd.DUCKDB)} AS norm_url
+FROM pages
+"""
+
+
+@register("url_dedup_within_wm_stream", _URL_WM_DEDUP_ORACLE)
+def q_url_dedup_within_wm_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming recrawl dedup via dropDuplicatesWithinWatermark:
+    the feed is every page plus a re-spelled RECRAWL of every 4th page
+    two hours later (different url spelling AND different event time —
+    the case the (key, ts)-keyed form cannot drop). Normalized key,
+    1-day watermark ⇒ every recrawl lands inside the dedup horizon, so
+    the emitted key set is exactly the batch DISTINCT the oracle runs.
+    Which physical row wins is order-dependent, so the gate emits only
+    norm_url; cross-micro-batch drops are asserted in
+    tests/test_streaming.py."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="gate_urlwm_")
+    pages_mod.load_pages(spark, sf_dir, with_html=False).createOrReplaceTempView(
+        "pages_wmdd"
+    )
+    spark.sql(
+        """
+        SELECT url, warc_ts FROM pages_wmdd
+        UNION ALL
+        SELECT 'http://www.' || substr(url, 9) || '/?utm_source=recrawl'
+                 AS url,
+               warc_ts + INTERVAL 2 HOUR AS warc_ts
+        FROM pages_wmdd WHERE doc_id % 4 = 0
+        """
+    ).write.mode("overwrite").parquet(f"{d}/feed")
+    schema = spark.read.parquet(f"{d}/feed").schema
+    stream = spark.readStream.schema(schema).parquet(f"{d}/feed")
+    out = (
+        urldedup.with_norm_url(stream.withWatermark("warc_ts", "1 day"))
+        .select("norm_url", "warc_ts")
+        .dropDuplicatesWithinWatermark(["norm_url"])
+        .select("norm_url")
+    )
+    name = f"gate_urlwm_{tag}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# Stream-stream LEFT OUTER interval join: the unconverted-views
+# report. Matches emit as found; a view with NO purchase inside the
+# horizon emits with null target columns only once the JOINT watermark
+# (min of both sides' max event time − delay) passes view_ts + horizon
+# and evicts it from join state — the oracle re-derives that eviction
+# rule exactly.
+_ATTRIB_OUTER_ORACLE = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user_id,
+         ts AS purchase_ts, value
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT least((SELECT epoch_ms(max(view_ts)) FROM v),
+               (SELECT epoch_ms(max(purchase_ts)) FROM p))
+         - 3600000 AS wm_ms
+)
+SELECT v.user_id, v.view_id, p.purchase_id,
+       date_diff('second', v.view_ts, p.purchase_ts) AS lag_s,
+       round(p.value, 6) AS purchase_value
+FROM v JOIN p ON p.p_user_id = v.user_id
+ AND p.purchase_ts >= v.view_ts
+ AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+UNION ALL
+SELECT v.user_id, v.view_id, CAST(-1 AS BIGINT) AS purchase_id,
+       CAST(-1 AS BIGINT) AS lag_s, CAST(-1 AS DOUBLE) AS purchase_value
+FROM v, wm
+WHERE NOT EXISTS (
+    SELECT 1 FROM p WHERE p.p_user_id = v.user_id
+      AND p.purchase_ts >= v.view_ts
+      AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE)
+  AND epoch_us(v.view_ts + INTERVAL 30 MINUTE) < wm.wm_ms * 1000
+"""
+
+
+@register("attrib_unconverted_stream", _ATTRIB_OUTER_ORACLE)
+def q_attrib_unconverted_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribution join as a watermarked stream-stream LEFT OUTER
+    join: converted views emit their (purchase, lag) rows as found;
+    unconverted views emit null-target rows on state eviction. Same
+    bounded-state shape as the inner form — the outer side only adds
+    the eviction-timed null emission the oracle mirrors."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="gate_attribout_")
+    spark.read.parquet(table_path(sf_dir, "events")).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/events")
+    out = streaming_inc.attribution_join_stream(
+        spark,
+        f"{d}/events",
+        f"{d}/ckpt",
+        query_name=f"gate_attribout_{tag}",
+        how="left_outer",
+    )
+    # -1 sentinels: nullable int columns degrade to float64 through the
+    # gate's pandas fetch (same convention as docs_embeddings_full_outer)
+    return out.select(
+        "user_id",
+        "view_id",
+        F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+        F.coalesce("lag_s", F.lit(-1)).alias("lag_s"),
+        F.coalesce("purchase_value", F.lit(-1.0)).alias("purchase_value"),
+    )
+
+
+# Explicit GROUPING SETS — the non-hierarchical grouping-set list
+# ((source),(lang)) that neither cube nor rollup can express; the
+# same SQL text runs verbatim on both engines.
+_GROUPING_SETS_SQL = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(grouping(source) AS INT) AS g_source,
+       CAST(grouping(lang) AS INT) AS g_lang
+FROM documents
+GROUP BY GROUPING SETS ((source), (lang))
+"""
+
+
+@register("summary_grouping_sets", _GROUPING_SETS_SQL)
+def q_summary_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS ((source),(lang)): two independent
+    marginal aggregates in ONE scan + Expand — completes the
+    cube/rollup family with the arbitrary-set form; grouping() flags
+    disambiguate real NULL groups from subtotal rows."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401

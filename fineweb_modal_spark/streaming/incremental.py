@@ -137,6 +137,7 @@ def attribution_join_stream(
     target_type: str = "purchase",
     horizon_minutes: int = 30,
     max_files_per_trigger: int | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked STREAM-STREAM interval join — the one Structured
     Streaming join class the rest of the module doesn't exercise
@@ -192,7 +193,13 @@ def attribution_join_stream(
                 "purchase_ts >= view_ts AND "
                 f"purchase_ts <= view_ts + interval {int(horizon_minutes)} minutes"
             ),
-            "inner",
+            # "left_outer": views with NO target inside the horizon are
+            # ALSO emitted (null target columns) — but only once the
+            # joint watermark passes view_ts + horizon and evicts the
+            # view from join state, since until then a match could
+            # still arrive. That eviction-timed emission is exactly
+            # what the unconverted-views gate's oracle re-derives.
+            how,
         )
         .select(
             "user_id",

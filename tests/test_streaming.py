@@ -363,3 +363,76 @@ def test_sessionize_tws_matches_applyinpandas(spark, tmp_path):
         spark.conf.unset(prov)
     want = start(sessionize.sessionize_stream, "t_aip", "ck_aip")
     assert got == want and len(want) > 0
+
+
+def test_drop_duplicates_within_watermark_drops_cross_batch(spark, tmp_path):
+    """A recrawl of the SAME key with a DIFFERENT event time arriving
+    in a LATER micro-batch must be dropped by
+    dropDuplicatesWithinWatermark state — the case the (key, ts)-keyed
+    dropDuplicates form cannot drop."""
+    import pyspark.sql.functions as F
+
+    feed = str(tmp_path / "feed")
+    base = spark.createDataFrame(
+        [("a.com/x", "2024-01-01 00:00:00"), ("b.com/y", "2024-01-01 00:00:01")],
+        "norm_url string, warc_ts string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    recrawl = spark.createDataFrame(
+        [("a.com/x", "2024-01-01 02:00:00")], "norm_url string, warc_ts string"
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    base.coalesce(1).write.mode("append").parquet(feed)
+    recrawl.coalesce(1).write.mode("append").parquet(feed)
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        stream.withWatermark("warc_ts", "1 day")
+        .dropDuplicatesWithinWatermark(["norm_url"])
+        .select("norm_url")
+        .writeStream.format("memory")
+        .queryName("t_wmdd")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.norm_url for r in spark.table("t_wmdd").collect())
+    assert got == ["a.com/x", "b.com/y"]
+
+
+def test_attrib_left_outer_across_micro_batches(spark, tmp_path):
+    """Left-outer stream-stream join with views and purchases split
+    across micro-batches: cross-batch matches must pair off the
+    buffered state (not be spuriously emitted as unconverted), and
+    every null row's view must truly have no in-horizon purchase."""
+    from fineweb_modal_spark.sources.tables import table_path
+
+    events_dir = str(tmp_path / "events")
+    ev = spark.read.parquet(table_path(SF, "events"))
+    ev.where("event_type = 'view'").coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+    ev.where("event_type = 'purchase'").coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+    got = incremental.attribution_join_stream(
+        spark,
+        events_dir,
+        str(tmp_path / "ck"),
+        query_name="t_attrib_outer_mb",
+        max_files_per_trigger=1,
+        how="left_outer",
+    )
+    want_inner = _batch_attribution(spark, events_dir)
+    rows = got.collect()
+    matched = [r for r in rows if r.purchase_id is not None]
+    nulls = [r for r in rows if r.purchase_id is None]
+    want = {tuple(r) for r in want_inner.collect()}
+    assert {tuple(r) for r in matched} == want and len(matched) == len(want)
+    # no view appears both matched and unconverted
+    assert {r.view_id for r in nulls}.isdisjoint({r.view_id for r in matched})
+    assert len(nulls) > 0
