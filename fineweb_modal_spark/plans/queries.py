@@ -4657,6 +4657,31 @@ def q_attrib_unconverted_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("arrow_ipc_writer_roundtrip", _ARROW_IPC_ORACLE)
+def q_arrow_ipc_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of the Python Data Source: documents →
+    `df.write.format("arrow_ipc")` (DataSourceArrowWriter: each task
+    streams its RecordBatches to a tmp shard, driver commit renames to
+    HF-style names — publish-by-rename, torn runs invisible) → read
+    back through the same registered format. Round-trip must be
+    lossless vs the parquet original (same oracle as both scan
+    gates)."""
+    import tempfile
+
+    from ..sources import arrow_ipc
+
+    out = tempfile.mkdtemp(prefix="gate_arrowwr_")
+    arrow_ipc.register_arrow_ipc_datasource(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(4).write.format("arrow_ipc").mode("overwrite").save(out)
+    df = spark.read.format("arrow_ipc").load(out)
+    return df.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 # Explicit GROUPING SETS — the non-hierarchical grouping-set list
 # ((source),(lang)) that neither cube nor rollup can express; the
 # same SQL text runs verbatim on both engines.

@@ -122,6 +122,76 @@ def make_arrow_ipc_datasource():
             else:
                 yield from r
 
+    from pyspark.sql.datasource import (
+        DataSourceArrowWriter,
+        WriterCommitMessage,
+    )
+
+    class _ShardCommit(WriterCommitMessage):
+        def __init__(self, tmp_path: str | None, n_rows: int):
+            self.tmp_path = tmp_path
+            self.n_rows = n_rows
+
+    class _Writer(DataSourceArrowWriter):
+        """Task-local stream-format shard + driver-side commit rename:
+        each task streams its RecordBatches into `_tmp-<uuid>.arrow.tmp`
+        (batch-at-a-time memory, no row materialization), returns the
+        tmp path + row count as its commit message, and the driver's
+        commit() renames the survivors to HF-style
+        `data-{i:05d}-of-{n:05d}.arrow` — torn runs leave only `.arrow.tmp`
+        files that list_shards() ignores, so readers never observe a
+        partial write (the same publish-by-rename discipline as
+        sinks.write_committed)."""
+
+        def __init__(self, out_dir: str, overwrite: bool):
+            self._out = out_dir
+            self._overwrite = overwrite
+
+        def write(self, batches):
+            import uuid
+
+            import pyarrow as pa
+
+            os.makedirs(self._out, exist_ok=True)
+            tmp, writer, n = None, None, 0
+            for batch in batches:
+                if writer is None:
+                    tmp = os.path.join(
+                        self._out, f"_tmp-{uuid.uuid4().hex}.arrow.tmp"
+                    )
+                    writer = pa.ipc.new_stream(tmp, batch.schema)
+                writer.write_batch(batch)
+                n += batch.num_rows
+            if writer is not None:
+                writer.close()
+            return _ShardCommit(tmp, n)
+
+        def commit(self, messages):
+            tmps = [
+                m.tmp_path
+                for m in messages
+                if m is not None and m.tmp_path
+            ]
+            if self._overwrite:
+                for f in list_shards(self._out):
+                    os.remove(f)
+            total = len(tmps)
+            for i, tmp in enumerate(sorted(tmps)):
+                os.rename(
+                    tmp,
+                    os.path.join(
+                        self._out, f"data-{i:05d}-of-{total:05d}.arrow"
+                    ),
+                )
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and getattr(m, "tmp_path", None):
+                    try:
+                        os.remove(m.tmp_path)
+                    except OSError:
+                        pass
+
     class _ArrowIPC(DataSource):
         @classmethod
         def name(cls) -> str:
@@ -137,6 +207,12 @@ def make_arrow_ipc_datasource():
 
         def reader(self, schema):
             return _Reader(list_shards(self.options["path"]))
+
+        def writer(self, schema, overwrite: bool):
+            path = self.options.get("path")
+            if not path:
+                raise ValueError("arrow_ipc requires .save(<shard_dir>)")
+            return _Writer(path, overwrite)
 
     return _ArrowIPC
 

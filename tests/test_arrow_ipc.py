@@ -77,3 +77,27 @@ def test_python_datasource_mixed_ipc_formats(spark, tmp_path):
     assert got.select(F.sum("doc_id")).first()[0] == sum(
         table.column("doc_id").to_pylist()
     )
+
+
+def test_datasource_writer_roundtrip_and_overwrite(spark, tmp_path):
+    """df.write.format("arrow_ipc"): one HF-named shard per write
+    task, publish-by-rename, overwrite replaces the previous shard
+    set, and the round-trip is lossless."""
+    import os
+
+    out = str(tmp_path / "written")
+    arrow_ipc.register_arrow_ipc_datasource(spark)
+    want = spark.read.parquet(table_path(SF, "documents"))
+    want.repartition(3).write.format("arrow_ipc").mode("overwrite").save(out)
+    shards = sorted(os.listdir(out))
+    assert shards == [f"data-{i:05d}-of-00003.arrow" for i in range(3)]
+    got = spark.read.format("arrow_ipc").load(out)
+    assert sorted(got.collect()) == sorted(want.collect())
+    # overwrite with a different shard count replaces, never appends
+    want.limit(10).repartition(2).write.format("arrow_ipc").mode(
+        "overwrite"
+    ).save(out)
+    assert sorted(os.listdir(out)) == [
+        f"data-{i:05d}-of-00002.arrow" for i in range(2)
+    ]
+    assert spark.read.format("arrow_ipc").load(out).count() == 10
