@@ -2542,6 +2542,45 @@ def q_committed_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_commit_ingest", _WRITE_ROUNDTRIP_ORACLE)
+def q_stream_commit_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest through the committed ds=... layout
+    (incremental.stream_commit_pages: foreachBatch + stage →
+    deterministic-rename publish → per-(ds,batch) manifest rows),
+    FORCED multi-batch (two input files, maxFilesPerTrigger=1) so
+    partitions accrete across micro-batches. The gate then reads the
+    PUBLISHED files back through the ordinary batch reader
+    (sinks.read_output) and re-aggregates — end-to-end file placement
+    + pipeline results must equal the same relational derivation the
+    batch sink's gate uses."""
+    import tempfile
+
+    from .. import sinks
+    from ..streaming import incremental as inc
+
+    base = tempfile.mkdtemp(prefix="gate_streamci_")
+    pages_dir, out = f"{base}/pages", f"{base}/out"
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    p.where("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(
+        pages_dir
+    )
+    p.where("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+        pages_dir
+    )
+    inc.stream_commit_pages(
+        spark, pages_dir, out, f"{base}/ckpt", max_files_per_trigger=1
+    )
+    return (
+        sinks.read_output(spark, out)
+        .groupBy("ds")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum(F.length("scrubbed_text").cast("long")).alias("out_chars"),
+        )
+    )
+
+
 @register("dedup_ngram_jaccard", dedup.ngram_jaccard_oracle_sql(D))
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard near-dup join (prefix filtering,

@@ -411,3 +411,146 @@ def scrub_stats_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def stream_commit_pages(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    granularity: str = "minute",
+    max_files_per_trigger: int | None = None,
+    publish_hook=None,
+) -> int:
+    """Streaming ingest through the SAME committed ds=... layout as the
+    batch sink (sinks.write_partition) — foreachBatch + the batchId
+    idempotence contract, so a crash at ANY point replays to the
+    identical on-disk state:
+
+    1. STAGE  — the micro-batch runs the full pipeline DAG, gets
+       ds/salt partition columns, and is written per-ds under
+       out_dir/_stream_stage/batch=N (mode=overwrite: a replayed batch
+       rebuilds its stage from scratch).
+    2. PUBLISH — the driver moves each staged file to
+       ds=X/stream-b{N:06d}-{i:04d}.parquet. Names are DETERMINISTIC
+       per (batch, position), and any stream-b{N}-* leftovers of a
+       torn earlier attempt are deleted first, so replay converges on
+       the identical file set — no duplicates, no partials.
+    3. MANIFEST — one op='stream_append' lineage row per (ds, batch)
+       with the same n_rows/n_keep/out_chars metrics the batch sink
+       observes; skipped if that (ds, batch) row already exists
+       (crash landed between manifest append and checkpoint advance).
+
+    The published layout is file-identical in shape to the batch
+    sink's, so read_output / compact_partition / vacuum_manifest work
+    unchanged over mixed batch+stream partitions. Scale: the per-batch
+    driver loop touches file NAMES and a collected per-ds metrics row
+    set (both ds-count-sized); row data moves via os.replace only.
+
+    `publish_hook(phase, epoch_id)` is a test crash-injection point
+    (phase in {'staged', 'published'}). Returns total rows committed
+    by THIS run (sum of manifest rows it appended)."""
+    import glob
+    import os
+    import shutil
+
+    from .. import sinks
+
+    total = {"n": 0}
+    schema = spark.read.parquet(pages_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(pages_dir)
+
+    def _publish(bdf: DataFrame, epoch_id: int) -> None:
+        part = sinks.with_partition_cols(
+            pl.pipeline_df(bdf), granularity=granularity
+        ).select(
+            "url", "ds", "salt", "doc_id", "lang_pred", "ppl",
+            "keep", "drop_reason", "scrubbed_text",
+        )
+        stage = os.path.join(out_dir, "_stream_stage", f"batch={epoch_id}")
+        metrics = {
+            str(r["ds"]): r
+            for r in part.groupBy("ds").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("keep").cast("long")).alias("n_keep"),
+                F.sum(F.length("scrubbed_text").cast("long")).alias(
+                    "out_chars"
+                ),
+            ).collect()
+        }
+        for ds in sorted(metrics):
+            part.where(F.col("ds") == F.lit(ds)).repartition(
+                F.col("salt")
+            ).write.mode("overwrite").parquet(os.path.join(stage, f"ds={ds}"))
+        if publish_hook:
+            publish_hook("staged", epoch_id)
+        for ds in sorted(metrics):
+            tgt = os.path.join(out_dir, f"ds={ds}")
+            os.makedirs(tgt, exist_ok=True)
+            for old in glob.glob(
+                os.path.join(tgt, f"stream-b{int(epoch_id):06d}-*.parquet")
+            ):
+                os.remove(old)
+            staged = sorted(
+                f
+                for f in os.listdir(os.path.join(stage, f"ds={ds}"))
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            for i, f in enumerate(staged):
+                os.replace(
+                    os.path.join(stage, f"ds={ds}", f),
+                    os.path.join(
+                        tgt, f"stream-b{int(epoch_id):06d}-{i:04d}.parquet"
+                    ),
+                )
+        if publish_hook:
+            publish_hook("published", epoch_id)
+        already: set[tuple[str, int]] = set()
+        try:
+            man = spark.read.parquet(os.path.join(out_dir, sinks.MANIFEST_DIR))
+            if "batch_id" in man.columns:
+                already = {
+                    (str(r.ds), int(r.batch_id))
+                    for r in man.where(
+                        F.col("batch_id").isNotNull()
+                    ).select("ds", "batch_id").collect()
+                }
+        except Exception:  # noqa: BLE001 — first commit: no manifest yet
+            pass
+        import time as _time
+
+        for ds in sorted(metrics):
+            if (ds, int(epoch_id)) in already:
+                continue
+            m = metrics[ds]
+            sinks._write_manifest_row(
+                spark,
+                out_dir,
+                {
+                    "ds": ds,
+                    "sink": "parquet",
+                    "op": "stream_append",
+                    "batch_id": int(epoch_id),
+                    "n_rows": int(m["n_rows"]),
+                    "n_keep": int(m["n_keep"] or 0),
+                    "out_chars": int(m["out_chars"] or 0),
+                    "committed_at": _time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()
+                    ),
+                    "commit_seq": _time.time_ns(),
+                },
+            )
+            total["n"] += int(m["n_rows"])
+        shutil.rmtree(stage, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(_publish)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return total["n"]

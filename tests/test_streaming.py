@@ -436,3 +436,48 @@ def test_attrib_left_outer_across_micro_batches(spark, tmp_path):
     # no view appears both matched and unconverted
     assert {r.view_id for r in nulls}.isdisjoint({r.view_id for r in matched})
     assert len(nulls) > 0
+
+
+def test_stream_commit_replay_converges(spark, tmp_path):
+    """Crash injected AFTER files are published but BEFORE the
+    manifest row / checkpoint advance (the nastiest window): the rerun
+    replays the batch and must converge on the identical file set —
+    no duplicate rows, no orphan files, manifest rows unique per
+    (ds, batch)."""
+    import pyspark.sql.functions as F
+
+    from fineweb_modal_spark import sinks
+
+    pages_dir = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    full = pages_mod.load_pages(spark, SF, with_html=False)
+    full.coalesce(1).write.parquet(pages_dir)
+
+    def boom(phase, epoch_id):
+        if phase == "published":
+            raise RuntimeError("injected crash after publish")
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="injected crash"):
+        incremental.stream_commit_pages(
+            spark, pages_dir, out, ckpt, publish_hook=boom
+        )
+    n = incremental.stream_commit_pages(spark, pages_dir, out, ckpt)
+    assert n == full.count()
+    got = sinks.read_output(spark, out)
+    assert got.count() == full.count()
+    assert got.select("url").distinct().count() == full.count()
+    man = spark.read.parquet(f"{out}/{sinks.MANIFEST_DIR}")
+    pairs = [(r.ds, r.batch_id) for r in man.select("ds", "batch_id").collect()]
+    assert len(pairs) == len(set(pairs))
+    # per-ds totals equal the batch pipeline's own partitioning
+    want = (
+        sinks.with_partition_cols(pl.run_pipeline(spark, SF), granularity="minute")
+        .groupBy("ds").count()
+    )
+    gotc = got.groupBy("ds").count()
+    assert {(r.ds, r["count"]) for r in gotc.collect()} == {
+        (r.ds, r["count"]) for r in want.collect()
+    }
