@@ -4306,17 +4306,19 @@ def q_ncm_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Built-in session windows (F.session_window), batch + streaming — the
 # declarative counterpart of the custom applyInPandasWithState operator.
 # NOTE the boundary rule differs from the custom sessionize gates on
-# purpose: session_window merges an event iff ts < last + gap at FULL
-# microsecond precision (new session when the gap is >= 30 min), while
-# the custom operator uses the spec's second-truncated > 1800 rule.
-# Each gate's oracle mirrors its own operator's exact rule.
+# purpose: session_window merges an event iff ts <= last + gap at FULL
+# microsecond precision — windows [a, a+gap) MERGE even when they only
+# touch (pinned by tests/test_streaming.py::
+# test_session_window_boundary_semantics) — while the custom operator
+# uses the spec's second-truncated > 1800 rule. Each gate's oracle
+# mirrors its own operator's exact rule.
 # ---------------------------------------------------------------------------
 
 _SESSION_WINDOW_CTES = """
 g AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -21,6 +21,11 @@ resume       partition-by-partition with manifest checkpointing —
 incremental  Structured Streaming AvailableNow over a growing pages
              directory (streaming/incremental.py); --input must then
              be a directory of pages parquet (url/warc_ts/text/lang).
+stream-commit  like incremental, but publishing through the SAME
+             committed ds=... layout + manifest lineage rows as
+             batch/resume (stream_commit_pages: replay-safe renames,
+             per-(ds,batch) metrics rows) — stream and batch runs
+             share one output table and one maintenance toolchain.
 hygiene      the composed five-stage hygiene pass (domain blocklist →
              recency URL keeper → line dedup → quality keep → scrub)
              over a crawl-feed parquet dir (doc_id/url/warc_ts/text),
@@ -54,7 +59,8 @@ def main(argv: list[str] | None = None) -> int:
         "--mode",
         default="batch",
         choices=[
-            "batch", "resume", "incremental", "hygiene",
+            "batch", "resume", "incremental", "stream-commit",
+            "hygiene",
             "train-lm", "score-lm", "train-clf", "score-clf",
             "curate",
         ],
@@ -235,6 +241,15 @@ def main(argv: list[str] | None = None) -> int:
         ckpt = args.checkpoint or (args.output.rstrip("/") + "_ckpt")
         n = incremental.run_pipeline_incremental(spark, args.input, args.output, ckpt)
         out = {"mode": "incremental", "rows_this_increment": n}
+    elif args.mode == "stream-commit":
+        from fineweb_modal_spark.streaming import incremental
+
+        ckpt = args.checkpoint or (args.output.rstrip("/") + "_ckpt")
+        n = incremental.stream_commit_pages(
+            spark, args.input, args.output, ckpt,
+            granularity=args.granularity,
+        )
+        out = {"mode": "stream-commit", "rows_this_increment": n}
     else:
         def build(s):
             df = pl.run_pipeline(s, args.input)

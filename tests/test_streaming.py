@@ -481,3 +481,34 @@ def test_stream_commit_replay_converges(spark, tmp_path):
     assert {(r.ds, r["count"]) for r in gotc.collect()} == {
         (r.ds, r["count"]) for r in want.collect()
     }
+
+
+def test_session_window_boundary_semantics(spark):
+    """Pin the built-in session window's merge rule at the EXACT gap
+    boundary: touching windows MERGE — an event precisely at
+    last+30:00.000000 continues the session, and only
+    last+30:00.000001 starts a new one. The session_window_agg oracle
+    mirrors this with a strict `> INTERVAL 30 MINUTE` split rule."""
+    rows = [
+        # user 1: second event exactly at the gap boundary -> MERGES
+        (1, "2024-01-01 00:00:00.000000"),
+        (1, "2024-01-01 00:30:00.000000"),
+        # user 2: 1 microsecond inside the gap -> merges
+        (2, "2024-01-01 00:00:00.000000"),
+        (2, "2024-01-01 00:29:59.999999"),
+        # user 3: 1 microsecond past the boundary -> splits
+        (3, "2024-01-01 00:00:00.000000"),
+        (3, "2024-01-01 00:30:00.000001"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    n_sessions = {r.user_id: r["count"] for r in got}
+    assert n_sessions == {1: 1, 2: 1, 3: 2}

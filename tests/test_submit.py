@@ -242,3 +242,35 @@ def test_job_curate_mode(spark, tmp_path):
     )
     assert back.count() == want > 0
     assert "scrubbed_text" in back.columns and "text" not in back.columns
+
+
+def test_job_stream_commit_mode(spark, tmp_path):
+    """--mode stream-commit publishes a pages stream through the
+    committed ds=... layout; a second invocation (nothing new) appends
+    nothing, and the output reads back through the batch reader."""
+    import jobs.run_pipeline as job
+
+    from fineweb_modal_spark import sinks
+    from fineweb_modal_spark.sources import pages as pages_mod
+
+    pages_dir = str(tmp_path / "pages")
+    pages_mod.load_pages(spark, SF, with_html=False).write.parquet(pages_dir)
+    out = str(tmp_path / "sc_out")
+    rc = job.main(
+        ["--input", pages_dir, "--output", out,
+         "--mode", "stream-commit", "--granularity", "minute",
+         "--checkpoint", str(tmp_path / "ck")]
+    )
+    assert rc == 0
+    got = sinks.read_output(spark, out)
+    assert got.count() == 500
+    man = sinks.read_manifest(spark, out)
+    assert "batch_id" in man.columns
+    # idempotent re-run: checkpoint says nothing new
+    rc2 = job.main(
+        ["--input", pages_dir, "--output", out,
+         "--mode", "stream-commit", "--granularity", "minute",
+         "--checkpoint", str(tmp_path / "ck")]
+    )
+    assert rc2 == 0
+    assert sinks.read_output(spark, out).count() == 500
