@@ -326,3 +326,86 @@ def test_line_key_sql_matches_python_mirror(lines):
     )
     for i, ln in enumerate(lines):
         assert got[i] == (linededup.line_key_py(ln),), (ln, got[i])
+
+
+# ---------------------------------------------------------------------------
+# Session-window gap rule (the session_window_agg oracle's split rule:
+# new session iff gap > 30 min, touch-inclusive merge) — pure-Python
+# mirror, property-checked over arbitrary microsecond timestamps.
+# ---------------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+def _sessions_py(ts_us: list[int]) -> list[tuple[int, int, int]]:
+    """(start_us, end_us=last+gap, n) per session under the
+    touch-inclusive merge rule (split only when gap strictly exceeds
+    30 min) — the exact rule pinned by
+    tests/test_streaming.py::test_session_window_boundary_semantics."""
+    out = []
+    for t in sorted(ts_us):
+        if out and t - out[-1][1] <= _GAP_US:
+            s, last, n = out[-1]
+            out[-1] = (s, t, n + 1)
+        else:
+            out.append((t, t, 1))
+    return [(s, last + _GAP_US, n) for s, last, n in out]
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=6 * 3600 * 1_000_000),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_session_rule_invariants(ts_us):
+    sessions = _sessions_py(ts_us)
+    # conservation: every event lands in exactly one session
+    assert sum(n for _, _, n in sessions) == len(ts_us)
+    spans = sorted(sessions)
+    for (s1, e1, _), (s2, _, _) in zip(spans, spans[1:]):
+        # strict separation: consecutive sessions never touch
+        assert s2 > e1
+    for s, e, _ in spans:
+        assert e - s >= _GAP_US  # end = last event + gap
+
+
+def test_session_rule_matches_oracle_cte_on_duckdb():
+    """The pure-Python mirror and the gate oracle's CTE split rule
+    (ts - lag(ts) > INTERVAL 30 MINUTE) must agree on a corpus that
+    includes EXACT boundary gaps."""
+    import duckdb
+
+    base = 1_700_000_000_000_000
+    ts = [
+        base,
+        base + _GAP_US,          # exact touch: merges
+        base + 2 * _GAP_US + 1,  # 1 us past: splits
+        base + 3 * _GAP_US + 2,
+    ]
+    want = _sessions_py(ts)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT make_timestamp(t) AS ts FROM "
+        "(SELECT unnest(?) AS t)",
+        [ts],
+    )
+    got = con.execute(
+        """
+        WITH g AS (
+          SELECT ts, CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (ORDER BY ts)
+        ), s AS (
+          SELECT ts, sum(is_new) OVER (ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS sid FROM g
+        )
+        SELECT epoch_us(min(ts)), epoch_us(max(ts)) + 1800000000,
+               CAST(count(*) AS INT)
+        FROM s GROUP BY sid ORDER BY 1
+        """
+    ).fetchall()
+    assert [tuple(r) for r in got] == want

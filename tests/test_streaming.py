@@ -512,3 +512,38 @@ def test_session_window_boundary_semantics(spark):
     )
     n_sessions = {r.user_id: r["count"] for r in got}
     assert n_sessions == {1: 1, 2: 1, 3: 2}
+
+
+def test_stream_commit_crash_before_publish_converges(spark, tmp_path):
+    """Crash while the batch is only STAGED (no files published, no
+    manifest row): the rerun must replay cleanly and leave no stage
+    debris behind."""
+    import os
+
+    from fineweb_modal_spark import sinks
+
+    pages_dir = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    full = pages_mod.load_pages(spark, SF, with_html=False)
+    full.coalesce(1).write.parquet(pages_dir)
+
+    def boom(phase, epoch_id):
+        if phase == "staged":
+            raise RuntimeError("injected crash after staging")
+
+    with pytest.raises(Exception, match="injected crash"):
+        incremental.stream_commit_pages(
+            spark, pages_dir, out, ckpt, publish_hook=boom
+        )
+    # nothing published, stage dir still holds the torn attempt
+    assert not [
+        f for f in os.listdir(out) if f.startswith("ds=")
+    ] if os.path.isdir(out) else True
+    n = incremental.stream_commit_pages(spark, pages_dir, out, ckpt)
+    assert n == full.count()
+    got = sinks.read_output(spark, out)
+    assert got.count() == full.count()
+    assert not os.path.isdir(os.path.join(out, "_stream_stage")) or not any(
+        os.scandir(os.path.join(out, "_stream_stage"))
+    )
