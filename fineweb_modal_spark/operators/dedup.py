@@ -718,3 +718,75 @@ SELECT doc_id, cluster_id, score_ppm,
        ) = 1 AS keep
 FROM j
 """.strip()
+
+
+def simhash_pairs(
+    corpus: DataFrame, bits: int = 48, k: int = 3, chunks: int = 4
+) -> DataFrame:
+    """SimHash near-dup JOIN via pigeonhole bucketing (the Manku/
+    Charikar web-dedup design): if two hashes differ in ≤ k bits, at
+    least one of k+1 equal-width chunks is IDENTICAL — so candidates
+    come from `chunks` bucket-joins on (chunk_index, chunk_value), not
+    an all-pairs cross join, and only candidates pay the exact
+    bit_count(xor) hamming verify. 48-bit hashes keep every value
+    positive in both engines' signed BIGINT; production tuning is the
+    same shape wider (64-bit hash, 16-bit chunks ⇒ 65k buckets).
+    Scale: one explode (chunks× rows of three ints), one shuffle join
+    on the chunk key, distinct, row-local verify — candidate volume
+    ~ chunks · n² / 2^(bits/chunks) per skew-free key space.
+    Output: (doc_a, doc_b, hamming) with doc_a < doc_b, hamming ≤ k."""
+    assert chunks >= k + 1, "pigeonhole needs at least k+1 chunks"
+    w = bits // chunks
+    mask = (1 << w) - 1
+    sim = with_simhash(corpus, bits=bits)
+    pieces = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
+                F.expr(f"shiftright(simhash, {c * w}) & {mask}").alias(
+                    "key"
+                ),
+            )
+            for c in range(chunks)
+        ]
+    )
+    e = sim.select(
+        "doc_id", "simhash", F.explode(pieces).alias("p")
+    ).select("doc_id", "simhash", F.col("p.c").alias("c"), F.col("p.key").alias("key"))
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("CAST(bit_count(sa ^ sb) AS INT)").alias("hamming"),
+    ).where(F.col("hamming") <= k)
+
+
+def simhash_pairs_oracle_sql(d: str, bits: int = 48, k: int = 3) -> str:
+    """Algorithm-independent re-derivation: ALL pairs within hamming k
+    over the full cross join — the bucketing must introduce no false
+    negatives (pigeonhole is exact, not probabilistic)."""
+    corpus = corpus_with_near_dups_sql(d)
+    sim = H.simhash_select(d, table="corpus", bits=bits)
+    return f"""
+WITH corpus AS ({corpus}),
+sim AS ({sim})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {k}
+""".strip()

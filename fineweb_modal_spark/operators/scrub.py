@@ -103,3 +103,31 @@ SELECT {by_name}, count(*) AS n_docs,
        {tag_sums}
 FROM s GROUP BY {by_name}
 """.strip()
+
+
+def collapse_lines_sql(txt: str, d: str) -> str:
+    """Consecutive duplicate LINE collapse inside one document — the
+    boilerplate scrub for pages whose template repeats the same nav/
+    footer line back-to-back. Pure array expression (split → indexed
+    lambda filter → join), zero shuffle, zero Python; rendered for
+    both dialects from one rule: keep line i iff i is first or line i
+    differs from line i-1. (Spark lambda indexes are 0-based, DuckDB's
+    1-based — both renderings express the identical rule.)"""
+    if d == sd.SPARK:
+        lines = f"split({txt}, '\\n')"
+        kept = (
+            f"filter({lines}, (x, i) -> i = 0 OR x != ({lines})[i - 1])"
+        )
+        return f"array_join({kept}, '\\n')"
+    lines = f"string_split({txt}, chr(10))"
+    kept = f"list_filter({lines}, (x, i) -> i = 1 OR x <> ({lines})[i - 1])"
+    return f"array_to_string({kept}, chr(10))"
+
+
+def with_collapsed_lines(
+    df: DataFrame, text_col: str = "text", out_col: str = "collapsed_text"
+) -> DataFrame:
+    return df.withColumn(
+        out_col,
+        F.expr(collapse_lines_sql(text_col, sd.SPARK)),
+    )

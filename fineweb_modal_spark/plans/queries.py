@@ -821,6 +821,55 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.with_simhash(docs)
 
 
+@register("dedup_simhash_pairs", dedup.simhash_pairs_oracle_sql(D))
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup JOIN (pigeonhole bucketing, hamming ≤ 3 over
+    48-bit hashes) on the planted near-dup corpus — the pairing
+    operator the per-doc `dedup_simhash` hash feeds. The oracle is the
+    full cross-join re-derivation, so the gate proves the bucketing
+    introduces no false negatives (pigeonhole is exact)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    corpus = spark.sql(dedup.corpus_with_near_dups_sql(sd.SPARK))
+    return dedup.simhash_pairs(corpus)
+
+
+_COLLAPSE_CORPUS = (
+    "text || chr(10) || text || chr(10) || 'x' || CAST(doc_id AS {t}) "
+    "|| chr(10) || 'x' || CAST(doc_id AS {t}) || chr(10) || text"
+)
+
+_COLLAPSE_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, {_COLLAPSE_CORPUS.format(t="VARCHAR")} AS t FROM documents
+)
+SELECT doc_id, md5({{c}}) AS collapsed_md5,
+       CAST(len(string_split(t, chr(10))) AS INT) AS n_before,
+       CAST(len(string_split({{c}}, chr(10))) AS INT) AS n_after
+FROM corpus
+""".format(c=scrub.collapse_lines_sql("t", sd.DUCKDB))
+
+
+@register("collapse_repeated_lines", _COLLAPSE_ORACLE)
+def q_collapse_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc consecutive duplicate-line collapse (template nav/
+    footer boilerplate): every doc gets planted back-to-back duplicate
+    lines (text, text, x<id>, x<id>, text → text, x<id>, text — the
+    trailing repeat of a NON-adjacent line must survive). Pure array
+    expression, zero shuffle; gate pins the byte-exact collapsed text
+    md5 plus before/after line counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.selectExpr(
+        "doc_id", _COLLAPSE_CORPUS.format(t="STRING") + " AS t"
+    )
+    out = scrub.with_collapsed_lines(corpus, "t", "c")
+    return out.selectExpr(
+        "doc_id",
+        "md5(c) AS collapsed_md5",
+        "CAST(size(split(t, '\\n')) AS INT) AS n_before",
+        "CAST(size(split(c, '\\n')) AS INT) AS n_after",
+    )
+
+
 @register("doc_fingerprint", textstats.fingerprint_sql(D))
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial hash over md5-hashed tokens."""

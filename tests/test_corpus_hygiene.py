@@ -95,3 +95,50 @@ def test_split_stable_proportioned_and_shuffle_free(spark):
     assert a == b
     # row-local: no Exchange in the assignment plan
     assert "Exchange" not in _plan(split.assign_split(docs))
+
+
+def test_collapse_repeated_lines_edges(spark):
+    """Empty text, all-identical lines, and non-adjacent repeats."""
+    from fineweb_modal_spark.operators import scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "a\na\na\na"),
+            (3, "a\nb\na\nb"),
+            (4, "nav\nnav\nbody text\nfooter\nfooter"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.c
+        for r in scrub.with_collapsed_lines(df, "text", "c").collect()
+    }
+    assert got == {
+        1: "",
+        2: "a",
+        3: "a\nb\na\nb",
+        4: "nav\nbody text\nfooter",
+    }
+
+
+def test_simhash_pairs_bucketing_no_false_negatives(spark):
+    """The pigeonhole candidate set must contain EVERY pair within
+    hamming k (cross-check against brute force on a small corpus)."""
+    from fineweb_modal_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [(i, base + f"tail {i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_pairs(df, bits=48, k=3).collect()
+    }
+    sim = {r.doc_id: r.simhash for r in dedup.with_simhash(df, bits=48).collect()}
+    want = {
+        (a, b)
+        for a in sim
+        for b in sim
+        if a < b and bin(sim[a] ^ sim[b]).count("1") <= 3
+    }
+    assert got == want and len(want) > 0
