@@ -2591,6 +2591,55 @@ def q_committed_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("timetravel_read_asof", _WRITE_ROUNDTRIP_ORACLE)
+def q_timetravel_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot (as-of) read through the manifest — the parquet
+    analog of Iceberg TIMESTAMP AS OF, driven end-to-end: commit the
+    full corpus, capture the snapshot cutoff, commit one MORE
+    partition after it, then read as-of the cutoff and re-aggregate.
+    The later partition must be invisible, so the result equals the
+    same relational derivation the plain write gate uses."""
+    import tempfile
+    import time as _time
+
+    from .. import sinks
+    from . import pipeline as pl
+
+    out = tempfile.mkdtemp(prefix="gate_asof_") + "/out"
+
+    def build(s):
+        return sinks.with_partition_cols(
+            pl.run_pipeline(s, sf_dir), granularity="minute"
+        ).select(
+            "url", "ds", "salt", "doc_id", "keep", "drop_reason",
+            "scrubbed_text",
+        )
+
+    sinks.resume_run(spark, build, out)
+    cutoff = str(
+        sinks.read_manifest(spark, out)
+        .agg(F.max("committed_at"))
+        .first()[0]
+    )
+    _time.sleep(1.1)  # committed_at is second-granular; force separation
+    late = spark.createDataFrame(
+        [("http://late.example/p", "2099-12-31-00-00", 0, 10**9, True,
+          None, "late row")],
+        "url string, ds string, salt long, doc_id long, keep boolean, "
+        "drop_reason string, scrubbed_text string",
+    )
+    sinks.write_partition(spark, late, out, "2099-12-31-00-00")
+    return (
+        sinks.read_output_asof(spark, out, cutoff)
+        .groupBy("ds")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum(F.length("scrubbed_text").cast("long")).alias("out_chars"),
+        )
+    )
+
+
 @register("stream_commit_ingest", _WRITE_ROUNDTRIP_ORACLE)
 def q_stream_commit_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest through the committed ds=... layout
