@@ -2640,6 +2640,47 @@ def q_timetravel_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("maintenance_roundtrip", _WRITE_ROUNDTRIP_ORACLE)
+def q_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table maintenance must be CONTENT-INVARIANT: commit the corpus,
+    compact every ds partition to one file (small-file rewrite +
+    superseding manifest rows), then vacuum the superseded manifest
+    history — and the re-aggregated table must still hash-equal the
+    original write derivation. Promotes compact_partition +
+    vacuum_manifest from test-only to oracle-gated."""
+    import tempfile
+
+    from .. import sinks
+    from . import pipeline as pl
+
+    out = tempfile.mkdtemp(prefix="gate_maint_") + "/out"
+
+    def build(s):
+        return sinks.with_partition_cols(
+            pl.run_pipeline(s, sf_dir), granularity="minute"
+        ).select(
+            "url", "ds", "salt", "doc_id", "keep", "drop_reason",
+            "scrubbed_text",
+        )
+
+    rows = sinks.resume_run(spark, build, out)
+    for r in rows:
+        sinks.compact_partition(spark, out, r["ds"], target_files=1)
+    sinks.vacuum_manifest(spark, out)
+    assert all(
+        len(sinks.partition_files(out, r["ds"])) == 1 for r in rows
+    ), "compaction must leave exactly one file per partition"
+    return (
+        sinks.read_output(spark, out)
+        .groupBy("ds")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum(F.length("scrubbed_text").cast("long")).alias("out_chars"),
+        )
+    )
+
+
 @register("stream_commit_ingest", _WRITE_ROUNDTRIP_ORACLE)
 def q_stream_commit_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest through the committed ds=... layout
