@@ -1,9 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` smoke-runs the flagship langid→quality→scrub DAG at
-sf0.001; ``queries()``/``oracle_sql()`` expose every implemented
-operator (SURVEY.md §2) with its DuckDB oracle for the sf0.01
-correctness gate. Registry lives in
+sf0.01 — the same fixtures the oracle gates use; ``queries()``/
+``oracle_sql()`` expose every implemented operator (SURVEY.md §2)
+with its DuckDB oracle for the sf0.01 correctness gate, ordered so
+never-driver-validated gates come first (the driver samples the
+first 50 entries). Registry lives in
 fineweb_modal_spark/plans/queries.py.
 """
 
@@ -20,12 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from fineweb_modal_spark.plans import pipeline as _pipeline  # noqa: E402
 from fineweb_modal_spark.plans import queries as _registry  # noqa: E402
 
-SF0001 = "/root/testdata/sf0.001"
+SF001 = "/root/testdata/sf0.01"
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the full pipeline rolled up per predicted lang."""
-    return _pipeline.pipeline_summary(spark, SF0001)
+    return _pipeline.pipeline_summary(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -104,7 +104,9 @@ def boilerplate_signals(docs: DataFrame, df_thresh: int = BOILER_DF) -> DataFram
     keep is the exact integer comparison
     n_boiler * KEEP_DEN <= n_sh * KEEP_NUM — no float threshold, so
     the gate hash can't wobble on rounding."""
-    sets = _gram_sets(docs, BOILER_N).persist()  # feeds df agg + hit probe + per_doc
+    # feeds df agg + hit probe + per_doc; localCheckpoint (not
+    # .persist()) so blocks auto-release when the relation is dropped
+    sets = _gram_sets(docs, BOILER_N).localCheckpoint(eager=False)
     tok = sets.select(
         "doc_id", F.size("grams").alias("n_sh"), F.explode("grams").alias("g")
     )

@@ -82,10 +82,13 @@ def lsh_pairs(docs: DataFrame) -> DataFrame:
     candidate set is small; AQE decides).
     """
     # the signature relation feeds three consumers (banding + both
-    # hydration sides); persist it instead of recomputing the md5/
-    # shingle work 3x — at corpus scale this is a materialized
-    # signature TABLE (the index), not a cache
-    sigs = with_minhash(docs).persist()
+    # hydration sides); materialize it ONCE instead of recomputing the
+    # md5/shingle work 3x — at corpus scale this is a signature TABLE
+    # (the index), not a cache. localCheckpoint (not .persist()):
+    # blocks auto-release via the ContextCleaner when the relation is
+    # dropped, so repeated calls in a long session neither pin storage
+    # memory per call nor trip CacheManager "already cached" warnings.
+    sigs = with_minhash(docs).localCheckpoint(eager=False)
     band_arr = F.array(
         *[F.expr(H.band_hash(b, S)) for b in range(H.N_BANDS)]
     )
@@ -252,7 +255,9 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
         .selectExpr("doc_id", f"{toks} AS __toks")
         .selectExpr("doc_id", f"{sh} AS __sh")
         .selectExpr("doc_id", f"array_sort(array_distinct({shh})) AS sh")
-        .persist()  # feeds df-count, reorder, and both hydration sides
+        # feeds df-count, reorder, and both hydration sides; auto-
+        # released blocks (vs .persist(), which pins until unpersist)
+        .localCheckpoint(eager=False)
     )
     tok = sets.select("doc_id", F.explode("sh").alias("h"))
     dfreq = tok.groupBy("h").agg(F.count("*").alias("df"))
@@ -557,7 +562,7 @@ def incremental_lsh_dedup(
     (band,bucket) shuffle where the old side ships two BIGINTs per
     band row; hydration joins fetch shingle payloads for candidates
     only. The old corpus TEXT is never read."""
-    new_sigs = with_minhash(new_docs).persist()
+    new_sigs = with_minhash(new_docs).localCheckpoint(eager=False)
     band_arr = F.array(*[F.expr(H.band_hash(b, S)) for b in range(H.N_BANDS)])
 
     def bands_of(sigs: DataFrame) -> DataFrame:
@@ -603,6 +608,76 @@ def incremental_lsh_dedup(
             F.coalesce("n_matches", F.lit(0)).eqNullSafe(0).alias("admitted"),
         )
     )
+
+
+def recrawl_batch_sql(d: str, table: str = "documents") -> str:
+    """Delta batch for index MAINTENANCE (vs new_crawl_batch_sql's
+    admission batch): every 25th page re-crawled under its SAME
+    doc_id with changed text (must supersede the stored signature
+    row) plus fresh pages at +5M (must append)."""
+    cast_t = "STRING" if d == H.SPARK else "VARCHAR"
+    fresh = (
+        f"'brand new crawl discovery page ' || CAST(doc_id AS {cast_t}) "
+        f"|| ' full of previously unseen tokens'"
+    )
+    return (
+        f"SELECT doc_id, text || ' revised on recrawl' AS text "
+        f"FROM {table} WHERE doc_id % 25 = 0 "
+        f"UNION ALL "
+        f"SELECT doc_id + 5000000 AS doc_id, {fresh} AS text "
+        f"FROM {table} WHERE doc_id % 40 = 0"
+    )
+
+
+def merge_signature_index(
+    old_sigs: DataFrame, new_sigs: DataFrame
+) -> DataFrame:
+    """Index maintenance: fold a crawl delta's signatures into the
+    stored MinHash index. Re-crawled doc_ids SUPERSEDE their stored
+    rows; fresh ids append. The merged relation must be hash-identical
+    to a full rebuild over (surviving old ∪ delta) — the
+    `lsh_index_merge` gate proves it against a full-recompute oracle
+    (the merge_rescored_snapshot contract, applied to the index).
+
+    Scale shape: one left-anti join where the probe side is the
+    delta's two-BIGINT id relation (AQE broadcasts it at typical
+    crawl-delta ratios); the stored index's shingle payloads never
+    shuffle and the old corpus text is never read. This keeps the
+    signature index a MAINTAINED table — compacted in place like
+    sinks.compact_partition does for corpus partitions — instead of
+    being rebuilt per crawl."""
+    return old_sigs.join(
+        new_sigs.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(new_sigs)
+
+
+def merged_index_oracle_sql(d: str, table: str = "documents") -> str:
+    """Full signature rebuild over (old minus re-crawled) ∪ delta —
+    what the incremental merge must exactly reproduce."""
+    toks = H.tokens_lower("text", d)
+    sh = H.shingles("__toks", d)
+    shh = H.shingle_hashes("__sh", d)
+    sig_cols = ", ".join(
+        f"{H.minhash_sig('__shh', k, d)} AS sig_{k}" for k in range(H.N_HASHES)
+    )
+    n_sh = (
+        "size(array_distinct(__shh))"
+        if d == H.SPARK
+        else "len(list_distinct(__shh))"
+    )
+    return f"""
+WITH delta AS ({recrawl_batch_sql(d, table)}),
+merged AS (
+  SELECT doc_id, text FROM {table}
+  WHERE doc_id NOT IN (SELECT doc_id FROM delta)
+  UNION ALL
+  SELECT doc_id, text FROM delta
+),
+sigs0 AS (SELECT doc_id, {sh} AS __sh
+          FROM (SELECT doc_id, {toks} AS __toks FROM merged)),
+sigs1 AS (SELECT doc_id, {shh} AS __shh FROM sigs0)
+SELECT doc_id, CAST({n_sh} AS BIGINT) AS n_sh, {sig_cols} FROM sigs1
+""".strip()
 
 
 def incremental_lsh_oracle_sql(

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def list_shards(shard_dir: str, suffix: str = ".arrow") -> list[str]:
+    if not os.path.isdir(shard_dir):
+        return []
     return sorted(
         os.path.join(shard_dir, f)
         for f in os.listdir(shard_dir)
@@ -172,11 +174,26 @@ def make_arrow_ipc_datasource():
                 for m in messages
                 if m is not None and m.tmp_path
             ]
+            existing: list[str] = []
             if self._overwrite:
                 for f in list_shards(self._out):
                     os.remove(f)
-            total = len(tmps)
-            for i, tmp in enumerate(sorted(tmps)):
+            else:
+                # append mode: new shards slot AFTER the existing ones
+                # and every shard (old + new) is renamed to the new
+                # of-N suffix so the directory's naming contract
+                # (data-{i}-of-{total}) stays true. total grows, so
+                # the new suffix never collides with an old name.
+                existing = sorted(list_shards(self._out))
+            total = len(existing) + len(tmps)
+            for i, old in enumerate(existing):
+                dst = os.path.join(
+                    self._out, f"data-{i:05d}-of-{total:05d}.arrow"
+                )
+                if old != dst:
+                    os.rename(old, dst)
+            for j, tmp in enumerate(sorted(tmps)):
+                i = len(existing) + j
                 os.rename(
                     tmp,
                     os.path.join(
@@ -203,7 +220,12 @@ def make_arrow_ipc_datasource():
             path = self.options.get("path")
             if not path:
                 raise ValueError("arrow_ipc requires .load(<shard_dir>)")
-            return from_arrow_schema(_open_reader(list_shards(path)[0]).schema)
+            shards = list_shards(path)
+            if not shards:
+                raise ValueError(
+                    f"arrow_ipc: no .arrow shards under {path}"
+                )
+            return from_arrow_schema(_open_reader(shards[0]).schema)
 
         def reader(self, schema):
             return _Reader(list_shards(self.options["path"]))

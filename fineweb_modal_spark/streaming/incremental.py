@@ -22,6 +22,7 @@ plan into a live stream untouched.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -510,7 +511,15 @@ def stream_commit_pages(
             publish_hook("published", epoch_id)
         already: set[tuple[str, int]] = set()
         try:
-            man = spark.read.parquet(os.path.join(out_dir, sinks.MANIFEST_DIR))
+            # mergeSchema: on a mixed batch+stream table the manifest
+            # holds differently-shaped rows (batch-sink rows lack
+            # batch_id); plain schema inference could sample a
+            # batch-row file, drop the column, and silently disable
+            # the replay-dedup guard — a crash-replay would then
+            # double-append manifest rows and double-count totals.
+            man = spark.read.option("mergeSchema", "true").parquet(
+                os.path.join(out_dir, sinks.MANIFEST_DIR)
+            )
             if "batch_id" in man.columns:
                 already = {
                     (str(r.ds), int(r.batch_id))
@@ -518,8 +527,12 @@ def stream_commit_pages(
                         F.col("batch_id").isNotNull()
                     ).select("ds", "batch_id").collect()
                 }
-        except Exception:  # noqa: BLE001 — first commit: no manifest yet
-            pass
+        except AnalysisException as e:
+            # only the first-commit case (no manifest dir yet) is
+            # benign; any other read failure must not silently turn
+            # off idempotence
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
         import time as _time
 
         for ds in sorted(metrics):

@@ -101,3 +101,27 @@ def test_datasource_writer_roundtrip_and_overwrite(spark, tmp_path):
         f"data-{i:05d}-of-00002.arrow" for i in range(2)
     ]
     assert spark.read.format("arrow_ipc").load(out).count() == 10
+
+
+def test_datasource_writer_append_offsets_shards(spark, tmp_path):
+    """mode("append") must ADD shards after the existing ones (never
+    clobber) and rename every shard to the new of-N suffix so the
+    data-{i}-of-{total} naming contract stays true."""
+    import pytest
+
+    out = str(tmp_path / "appended")
+    arrow_ipc.register_arrow_ipc_datasource(spark)
+    want = spark.read.parquet(table_path(SF, "documents"))
+    first = want.limit(20).repartition(2)
+    first.write.format("arrow_ipc").mode("overwrite").save(out)
+    second = want.where(F.col("doc_id") >= 400).repartition(3)
+    second.write.format("arrow_ipc").mode("append").save(out)
+    assert sorted(os.listdir(out)) == [
+        f"data-{i:05d}-of-00005.arrow" for i in range(5)
+    ]
+    got = spark.read.format("arrow_ipc").load(out)
+    assert got.count() == 20 + second.count()
+    # empty / nonexistent shard dir surfaces as a clear error, not an
+    # IndexError from inside schema inference
+    with pytest.raises(Exception, match="no .arrow shards"):
+        spark.read.format("arrow_ipc").load(str(tmp_path / "missing")).count()

@@ -913,3 +913,50 @@ def test_clf_train_gd_learns_the_judge(spark):
     assert row.n_train == 500
     assert acc > max(base_keep, 1 - base_keep), (acc, base_keep)
     assert any(abs(row[c]) > 1e-6 for c in ("b", "w1", "w2", "w3", "w4", "w5"))
+
+
+def test_merge_signature_index_supersedes_and_appends(spark):
+    """Re-crawled doc_ids take the DELTA's signature row; untouched
+    ids keep the stored row; fresh ids append — merged == full
+    rebuild over (surviving old ∪ delta)."""
+    from fineweb_modal_spark.functions import sqldialect as sd
+    from fineweb_modal_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"stored page {i} about subject {i % 5} written in "
+                f"everyday words for testing")
+            for i in range(0, 100)
+        ],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("documents_idx_test")
+    delta = spark.sql(dedup.recrawl_batch_sql(sd.SPARK, "documents_idx_test"))
+    merged = dedup.merge_signature_index(
+        dedup.with_minhash(docs), dedup.with_minhash(delta)
+    )
+    sig_of = lambda df: {  # noqa: E731
+        r.doc_id: (
+            tuple(sorted(r["__sh"])),
+            tuple(r[f"sig_{k}"] for k in range(8)),
+        )
+        for r in df.collect()
+    }
+    got = sig_of(merged)
+    # full rebuild over (old minus re-crawled) ∪ delta
+    rebuilt = sig_of(
+        dedup.with_minhash(
+            docs.join(delta.select("doc_id"), "doc_id", "left_anti")
+            .unionByName(delta)
+        )
+    )
+    assert got == rebuilt
+    old = sig_of(dedup.with_minhash(docs))
+    recrawled = [i for i in range(0, 100) if i % 25 == 0]
+    assert all(got[i] != old[i] for i in recrawled)  # superseded rows
+    assert all(
+        got[i] == old[i] for i in range(100) if i % 25 != 0
+    )  # untouched rows survive byte-identical
+    assert {k for k in got if k >= 5000000} == {
+        5000000 + i for i in range(0, 100, 40)
+    }  # fresh appended
