@@ -54,6 +54,9 @@ HEADLINE = [
     "clf_train_gd",  # 10 full-batch GD steps (11 passes, driver-side weights)
     "edu_centroid_scores",  # semantic admission: centroid train + literal-fold scoring
     "full_curation_report",  # every admission family joined into one decision/doc
+    "tpch_q1_pricing_summary",  # scan-heavy partial agg over lineitem
+    "tpch_q9_product_profit",  # 6-way join: 1 fact shuffle + broadcast dims
+    "tpch_q18_large_volume_customer",  # agg-filtered semi join + top-100
 ]
 
 
@@ -169,6 +172,7 @@ def bench(sf_dir: str) -> dict:
             "embedded `scaling` = latest `python bench.py --scaling` run "
             "(SCALING.json); methodology in BASELINE.md"
         ),
+        "size_scaling": _latest_size_scaling(),
     }
 
 
@@ -324,8 +328,140 @@ def scaling(
     }
 
 
+SIZE_SCALING_JSON = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "SIZE_SCALING.json"
+)
+
+# The families where 100×-scale risk actually lives: pairing/graph
+# dedup and the composed curation DAGs (round-3 verdict ask #3).
+SIZE_FAMILIES = [
+    "dedup_clusters",
+    "dedup_repeated_spans",
+    "hygiene_pipeline",
+    "full_curation_report",
+]
+
+
+def _latest_size_scaling() -> dict | None:
+    try:
+        with open(SIZE_SCALING_JSON) as f:
+            full = json.load(f)
+    except (OSError, ValueError):
+        return None
+    return full
+
+
+def _materialize_sized(spark, sf_dir: str, reps: int, out_dir: str) -> int:
+    """documents+embeddings replicated ×reps into an sf-shaped dir.
+
+    Every replica's text is made textually DISTINCT by prefixing each
+    word with its rep tag (uniformly, including rep 0 and the ×1
+    corpus, so per-doc work is identical at both sizes): a growing
+    corpus at a roughly constant duplicate rate — the 10^12-doc
+    shape — NOT a corpus where every doc suddenly has 32 exact copies,
+    which would measure a pathological dup structure instead of size
+    scaling. Embeddings get a per-rep perturbation for the same
+    reason. Untimed setup; the timed job is scan → operator → noop
+    sink."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rep = F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("rep")
+    tagged = F.expr(
+        "array_join(transform(split(text, ' '), "
+        "w -> concat('r', CAST(rep AS STRING), w)), ' ')"
+    )
+    d = (
+        docs.repartition(32)
+        .select("*", rep)
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+        .withColumn("text", tagged)
+        .withColumn("n_chars", F.length("text"))
+        .drop("rep")
+    )
+    d.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    e = (
+        emb.repartition(32)
+        .select("*", rep)
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 10_000_000)
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, "
+                "(x, i) -> x + CAST(rep AS FLOAT) * 0.001 * CAST(i % 7 - 3 AS FLOAT))"
+            ),
+        )
+        .drop("rep")
+    )
+    e.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    return reps * docs.count()
+
+
+def size_scaling(sf_dir: str, reps_hi: int = 32, rounds: int = 2) -> dict:
+    """The heavy dedup/curation families at two CORPUS sizes on the
+    same local[32] session: ×1 vs ×reps_hi documents. Reports docs/s
+    at both plus growth efficiency (hi_dps / lo_dps) — ≈1.0 means the
+    operator's cost is linear in corpus size; >1 means fixed plan
+    overhead amortizing; <1 means superlinear work (the 100×-scale red
+    flag this table exists to catch)."""
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="size_scaling")
+    _warmup(spark)
+    base = tempfile.mkdtemp(prefix="size_scaling_")
+    dirs, n_docs = {}, {}
+    for tag, reps in (("lo", 1), ("hi", reps_hi)):
+        dirs[tag] = os.path.join(base, tag)
+        n_docs[tag] = _materialize_sized(spark, sf_dir, reps, dirs[tag])
+    qs = entrymod.queries()
+    best: dict[tuple[str, str], float] = {}
+    for _ in range(rounds):
+        for name in SIZE_FAMILIES:
+            for tag in ("lo", "hi"):
+                t0 = time.monotonic()
+                _force(qs[name](spark, dirs[tag]))
+                dt = time.monotonic() - t0
+                key = (name, tag)
+                best[key] = min(best.get(key, float("inf")), dt)
+    fams = {}
+    for name in SIZE_FAMILIES:
+        lo_dps = n_docs["lo"] / best[(name, "lo")]
+        hi_dps = n_docs["hi"] / best[(name, "hi")]
+        fams[name] = {
+            "lo_sec": round(best[(name, "lo")], 3),
+            "lo_docs_per_sec": round(lo_dps, 1),
+            "hi_sec": round(best[(name, "hi")], 3),
+            "hi_docs_per_sec": round(hi_dps, 1),
+            "growth_efficiency": round(hi_dps / lo_dps, 3),
+        }
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "metric": "size_scaling_growth_efficiency",
+        "unit": "ratio (hi docs/s over lo docs/s; 1.0 = linear cost)",
+        "lo_docs": n_docs["lo"],
+        "hi_docs": n_docs["hi"],
+        "reps_hi": reps_hi,
+        "families": fams,
+        "sf": sf_dir,
+    }
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--size-scaling" in sys.argv:
+        out = size_scaling(sf_dir)
+        out["measured_at"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+        )
+        with open(SIZE_SCALING_JSON, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        sys.exit(0)
     if "--scaling" in sys.argv:
         out = scaling(sf_dir)
         out["measured_at"] = time.strftime(

@@ -557,6 +557,10 @@ def stream_commit_pages(
                 },
             )
             total["n"] += int(m["n_rows"])
+        if publish_hook:
+            # crash-injection point for the replay-dedup window:
+            # manifest rows appended, checkpoint NOT yet advanced
+            publish_hook("manifested", epoch_id)
         shutil.rmtree(stage, ignore_errors=True)
 
     q = (

@@ -547,3 +547,56 @@ def test_stream_commit_crash_before_publish_converges(spark, tmp_path):
     assert not os.path.isdir(os.path.join(out, "_stream_stage")) or not any(
         os.scandir(os.path.join(out, "_stream_stage"))
     )
+
+
+def test_stream_replay_dedup_on_mixed_batch_stream_table(spark, tmp_path):
+    """A crash AFTER the manifest rows are appended but BEFORE the
+    checkpoint advances forces a full batch replay whose only
+    protection is the (ds, batch_id) replay-dedup guard. The target
+    table already holds BATCH-sink manifest rows (no batch_id
+    column), so the guard's manifest read must mergeSchema — plain
+    inference can sample a batch-row file, lose the batch_id column,
+    silently disable the guard, and double-append every stream row."""
+    import pytest as _pytest
+
+    from fineweb_modal_spark import sinks
+
+    pages_dir = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    full = pages_mod.load_pages(spark, SF, with_html=False)
+    full.coalesce(1).write.parquet(pages_dir)
+
+    # seed the table with a BATCH partition first (manifest row shape
+    # without batch_id) — the mixed layout the docstring advertises
+    part = sinks.with_partition_cols(
+        pl.run_pipeline(spark, SF), granularity="minute"
+    )
+    some_ds = part.select("ds").first().ds
+    sinks.write_partition(
+        spark, part.where(F.col("ds") == some_ds), out, some_ds
+    )
+    n_batch_manifest = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/{sinks.MANIFEST_DIR}"
+    ).count()
+
+    def boom(phase, epoch_id):
+        if phase == "manifested":
+            raise RuntimeError("injected crash after manifest append")
+
+    with _pytest.raises(Exception, match="injected crash"):
+        incremental.stream_commit_pages(
+            spark, pages_dir, out, ckpt, publish_hook=boom
+        )
+    n_again = incremental.stream_commit_pages(spark, pages_dir, out, ckpt)
+    assert n_again == 0  # replay appended NOTHING — guard held
+    man = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/{sinks.MANIFEST_DIR}"
+    )
+    stream_rows = man.where(F.col("batch_id").isNotNull())
+    pairs = [
+        (r.ds, r.batch_id)
+        for r in stream_rows.select("ds", "batch_id").collect()
+    ]
+    assert len(pairs) == len(set(pairs))  # unique per (ds, batch)
+    assert man.count() == n_batch_manifest + len(pairs)
