@@ -173,6 +173,7 @@ def bench(sf_dir: str) -> dict:
             "(SCALING.json); methodology in BASELINE.md"
         ),
         "size_scaling": _latest_size_scaling(),
+        "incremental_scaling": _latest_incr_scaling(),
     }
 
 
@@ -451,8 +452,145 @@ def size_scaling(sf_dir: str, reps_hi: int = 32, rounds: int = 2) -> dict:
     }
 
 
+INCR_SCALING_JSON = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "INCR_SCALING.json"
+)
+
+
+def _latest_incr_scaling() -> dict | None:
+    try:
+        with open(INCR_SCALING_JSON) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def incremental_scaling(sf_dir: str, reps_hi: int = 32, rounds: int = 2) -> dict:
+    """The 10^12-doc admission claim, measured: a FIXED crawl delta
+    admitted against a STORED MinHash signature index at two corpus
+    sizes (×1 vs ×reps_hi stored docs). Three timings per size:
+
+    * ``incr_sec`` — `incremental_lsh_dedup(stored_index, delta)`:
+      only the delta is shingled/signed; the stored side contributes
+      a band-bucket scan of two-BIGINT rows. This is the per-crawl
+      steady-state cost.
+    * ``merge_sec`` — `merge_signature_index`: fold the delta's
+      signatures into the stored index (supersede + append).
+    * ``resign_sec`` — the full `with_minhash` re-sign over
+      (stored ∪ delta) text: the work the incremental path AVOIDS,
+      i.e. what a rebuild-per-crawl design would pay.
+
+    ``index_growth`` = incr_sec(hi)/incr_sec(lo) shows how admission
+    cost responds to a 32× bigger stored corpus (sublinear = the
+    stored text is truly never read; only the thin index scan grows).
+    ``advantage`` = resign_sec/incr_sec at each size — the rebuild
+    multiple, which must WIDEN with corpus size for the incremental
+    design to matter at 10^12 docs."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fineweb_modal_spark.operators import dedup
+
+    spark = get_spark(app_name="incremental_scaling")
+    _warmup(spark)
+    base = tempfile.mkdtemp(prefix="incr_scaling_")
+    n_docs = {}
+    # Untimed setup: materialize stored corpora and their signature
+    # indexes as real parquet tables (the index is a MAINTAINED table
+    # at scale, not a per-run computation).
+    for tag, reps in (("lo", 1), ("hi", reps_hi)):
+        d = os.path.join(base, tag)
+        n_docs[tag] = _materialize_sized(spark, sf_dir, reps, d)
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        dedup.with_minhash(docs).write.mode("overwrite").parquet(
+            os.path.join(d, "sig_index.parquet")
+        )
+    # Fixed delta, identical at both sizes: 1-in-10 of the ×1 corpus
+    # re-crawled with a tail edit (near-dups of stored docs present at
+    # BOTH sizes ⇒ the verify stage does real Jaccard work) plus the
+    # same rows as brand-new ids.
+    lo_docs = spark.read.parquet(
+        os.path.join(base, "lo", "documents.parquet")
+    ).where(F.col("doc_id") % 10 == 0)
+    delta = (
+        lo_docs.select(
+            (F.col("doc_id") + 9_000_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" freshly crawled tail")).alias("text"),
+        )
+        .unionByName(
+            lo_docs.select(
+                (F.col("doc_id") + 9_500_000_000).alias("doc_id"),
+                F.reverse(F.col("text")).alias("text"),
+            )
+        )
+    )
+    delta.write.mode("overwrite").parquet(os.path.join(base, "delta.parquet"))
+    delta = spark.read.parquet(os.path.join(base, "delta.parquet"))
+    n_delta = delta.count()
+    best: dict[tuple[str, str], float] = {}
+
+    def timed(key, fn):
+        t0 = time.monotonic()
+        fn()
+        best[key] = min(best.get(key, float("inf")), time.monotonic() - t0)
+
+    for _ in range(rounds):
+        for tag in ("lo", "hi"):
+            d = os.path.join(base, tag)
+            sig = spark.read.parquet(os.path.join(d, "sig_index.parquet"))
+            docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+            timed((tag, "incr"), lambda: _force(
+                dedup.incremental_lsh_dedup(sig, delta)
+            ))
+            timed((tag, "merge"), lambda: _force(
+                dedup.merge_signature_index(sig, dedup.with_minhash(delta))
+            ))
+            timed((tag, "resign"), lambda: _force(
+                dedup.with_minhash(
+                    docs.select("doc_id", "text").unionByName(delta)
+                )
+            ))
+    sizes = {}
+    for tag in ("lo", "hi"):
+        incr, merge, resign = (
+            best[(tag, "incr")], best[(tag, "merge")], best[(tag, "resign")]
+        )
+        sizes[tag] = {
+            "stored_docs": n_docs[tag],
+            "incr_sec": round(incr, 3),
+            "delta_docs_per_sec": round(n_delta / incr, 1),
+            "merge_sec": round(merge, 3),
+            "resign_sec": round(resign, 3),
+            "advantage_vs_rebuild": round(resign / incr, 2),
+        }
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "metric": "incremental_admission_scaling",
+        "unit": "sec (fixed delta vs stored index at two corpus sizes)",
+        "delta_docs": n_delta,
+        "reps_hi": reps_hi,
+        "sizes": sizes,
+        "index_growth": round(
+            sizes["hi"]["incr_sec"] / sizes["lo"]["incr_sec"], 2
+        ),
+        "corpus_growth": round(n_docs["hi"] / n_docs["lo"], 1),
+        "sf": sf_dir,
+    }
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--incremental-scaling" in sys.argv:
+        out = incremental_scaling(sf_dir)
+        out["measured_at"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+        )
+        with open(INCR_SCALING_JSON, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        sys.exit(0)
     if "--size-scaling" in sys.argv:
         out = size_scaling(sf_dir)
         out["measured_at"] = time.strftime(
