@@ -485,27 +485,38 @@ def incremental_scaling(sf_dir: str, reps_hi: int = 32, rounds: int = 2) -> dict
     stored text is truly never read; only the thin index scan grows).
     ``advantage`` = resign_sec/incr_sec at each size — the rebuild
     multiple, which must WIDEN with corpus size for the incremental
-    design to matter at 10^12 docs."""
+    design to matter at 10^12 docs.
+
+    The ANN family gets the same treatment (``ivf`` block): a fixed
+    1,000-vector delta assigned against a STORED IVF centroid index
+    (`ivf_assign_delta`, zero shuffle) vs re-assigning the whole
+    (corpus ∪ delta) — the minimal rebuild a non-incremental design
+    pays per batch (retraining would cost more still)."""
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
-    from fineweb_modal_spark.operators import dedup
+    from fineweb_modal_spark.operators import dedup, similarity
 
     spark = get_spark(app_name="incremental_scaling")
     _warmup(spark)
     base = tempfile.mkdtemp(prefix="incr_scaling_")
-    n_docs = {}
-    # Untimed setup: materialize stored corpora and their signature
-    # indexes as real parquet tables (the index is a MAINTAINED table
-    # at scale, not a per-run computation).
+    n_docs, n_vecs = {}, {}
+    # Untimed setup: materialize stored corpora and their signature /
+    # IVF indexes as real parquet tables (the index is a MAINTAINED
+    # table at scale, not a per-run computation).
     for tag, reps in (("lo", 1), ("hi", reps_hi)):
         d = os.path.join(base, tag)
         n_docs[tag] = _materialize_sized(spark, sf_dir, reps, d)
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
         dedup.with_minhash(docs).write.mode("overwrite").parquet(
             os.path.join(d, "sig_index.parquet")
+        )
+        emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        n_vecs[tag] = emb.count()
+        similarity.build_ivf_index(
+            spark, emb, os.path.join(d, "ivf_index.parquet")
         )
     # Fixed delta, identical at both sizes: 1-in-10 of the ×1 corpus
     # re-crawled with a tail edit (near-dups of stored docs present at
@@ -529,6 +540,22 @@ def incremental_scaling(sf_dir: str, reps_hi: int = 32, rounds: int = 2) -> dict
     delta.write.mode("overwrite").parquet(os.path.join(base, "delta.parquet"))
     delta = spark.read.parquet(os.path.join(base, "delta.parquet"))
     n_delta = delta.count()
+    # Fixed embedding delta: 1-in-5 of the ×1 vectors, perturbed and
+    # re-idd — arriving vectors near the stored distribution.
+    lo_emb = spark.read.parquet(
+        os.path.join(base, "lo", "embeddings.parquet")
+    ).where(F.col("vec_id") % 5 == 0)
+    emb_delta = lo_emb.select(
+        (F.col("vec_id") + 9_000_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + 0.01 * CAST(i % 5 - 2 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    emb_delta.write.mode("overwrite").parquet(
+        os.path.join(base, "emb_delta.parquet")
+    )
+    emb_delta = spark.read.parquet(os.path.join(base, "emb_delta.parquet"))
+    n_emb_delta = emb_delta.count()
     best: dict[tuple[str, str], float] = {}
 
     def timed(key, fn):
@@ -552,7 +579,21 @@ def incremental_scaling(sf_dir: str, reps_hi: int = 32, rounds: int = 2) -> dict
                     docs.select("doc_id", "text").unionByName(delta)
                 )
             ))
+            ivf_index = similarity.load_ivf_index(
+                spark, os.path.join(d, "ivf_index.parquet")
+            )
+            emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+            timed((tag, "ivf_incr"), lambda: _force(
+                similarity.ivf_assign_delta(emb_delta, ivf_index)
+            ))
+            timed((tag, "ivf_reassign"), lambda: _force(
+                similarity.ivf_assign_delta(
+                    emb.select("vec_id", "embedding").unionByName(emb_delta),
+                    ivf_index,
+                )
+            ))
     sizes = {}
+    ivf = {}
     for tag in ("lo", "hi"):
         incr, merge, resign = (
             best[(tag, "incr")], best[(tag, "merge")], best[(tag, "resign")]
@@ -565,15 +606,28 @@ def incremental_scaling(sf_dir: str, reps_hi: int = 32, rounds: int = 2) -> dict
             "resign_sec": round(resign, 3),
             "advantage_vs_rebuild": round(resign / incr, 2),
         }
+        a, r = best[(tag, "ivf_incr")], best[(tag, "ivf_reassign")]
+        ivf[tag] = {
+            "stored_vectors": n_vecs[tag],
+            "assign_delta_sec": round(a, 3),
+            "delta_vecs_per_sec": round(n_emb_delta / a, 1),
+            "reassign_all_sec": round(r, 3),
+            "advantage_vs_reassign": round(r / a, 2),
+        }
     shutil.rmtree(base, ignore_errors=True)
     return {
         "metric": "incremental_admission_scaling",
         "unit": "sec (fixed delta vs stored index at two corpus sizes)",
         "delta_docs": n_delta,
+        "delta_vectors": n_emb_delta,
         "reps_hi": reps_hi,
         "sizes": sizes,
+        "ivf": ivf,
         "index_growth": round(
             sizes["hi"]["incr_sec"] / sizes["lo"]["incr_sec"], 2
+        ),
+        "ivf_index_growth": round(
+            ivf["hi"]["assign_delta_sec"] / ivf["lo"]["assign_delta_sec"], 2
         ),
         "corpus_growth": round(n_docs["hi"] / n_docs["lo"], 1),
         "sf": sf_dir,
