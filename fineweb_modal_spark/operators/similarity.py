@@ -69,12 +69,28 @@ def _norm(a: str, d: str) -> str:
     )
 
 
-def cosine_topk(emb: DataFrame, k: int = 3) -> DataFrame:
+BRUTE_FORCE_CAP = 65_536
+
+
+def cosine_topk(emb: DataFrame, k: int = 3, force: bool = False) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank): top-k neighbors per vector.
 
-    Brute force; the corpus side of the join is broadcast by AQE when
-    small enough, else sort-merge. rank ties broken by neighbor_id.
+    Brute force — the documented O(n²) CORRECTNESS BASELINE for the
+    ANN family; `ivf_topk` / `ivf_pq_topk` are the scale paths. The
+    corpus side of the join is broadcast; rank ties broken by
+    neighbor_id. Refuses corpora above ``BRUTE_FORCE_CAP`` vectors
+    unless ``force=True`` so the baseline cannot silently become a
+    composed-pipeline cost at scale (one count() job up front — noise
+    next to the n² pair work it bounds).
     """
+    if not force:
+        n = emb.count()
+        if n > BRUTE_FORCE_CAP:
+            raise ValueError(
+                f"cosine_topk is the O(n^2) correctness baseline: corpus has "
+                f"{n} vectors (> cap {BRUTE_FORCE_CAP}). Use ivf_topk / "
+                f"ivf_pq_topk at scale, or pass force=True to insist."
+            )
     # norms are per-ROW columns (computed once per vector, not per pair
     # — at n vectors that is n evaluations instead of n²)
     a = emb.select(

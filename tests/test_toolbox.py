@@ -86,6 +86,18 @@ def test_cosine_topk_finds_planted_duplicate(spark):
         assert nid == q - 100000 and cos == pytest.approx(1.0, abs=1e-5)
 
 
+def test_cosine_topk_refuses_oversize_corpus(spark, monkeypatch):
+    """The O(n²) baseline must fail loudly above the cap (scale
+    fence), keep working under it, and obey the explicit override."""
+    emb = load_table(spark, SF, "embeddings")
+    monkeypatch.setattr(similarity, "BRUTE_FORCE_CAP", 10)
+    with pytest.raises(ValueError, match="correctness baseline"):
+        similarity.cosine_topk(emb, k=1)
+    assert similarity.cosine_topk(emb, k=1, force=True).count() > 0
+    monkeypatch.setattr(similarity, "BRUTE_FORCE_CAP", 65_536)
+    assert similarity.cosine_topk(emb.limit(5), k=1).count() == 5
+
+
 def test_neardup_lsh_finds_all_planted_pairs(spark):
     emb = load_table(spark, SF, "embeddings")
     emb.createOrReplaceTempView("embeddings")
