@@ -39,13 +39,18 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Gate names the grading driver has already validated (union of the
-# CORRECTNESS_r0{1,2,3}.json keys). The driver's correctness budget
-# samples the FIRST 50 registry entries, so never-driver-validated
-# gates sort FIRST: each round's driver artifact then covers new
-# ground while the committed full-registry sweep still covers
-# everything. Registration order is preserved within each group.
-_DRIVER_SEEN = frozenset({
+# Gate names the grading driver has already validated. The driver's
+# correctness budget samples the FIRST 50 registry entries, so
+# never-driver-validated gates sort FIRST: each round's driver
+# artifact then covers new ground while the committed full-registry
+# sweep still covers everything. Registration order is preserved
+# within each group. The set is SELF-ADVANCING: on import it unions
+# this static floor (r1-r3 keys) with every per-round driver artifact
+# found at the repo root (CORRECTNESS_r*.json — NOT the _local full
+# sweeps), so when the driver writes CORRECTNESS_r04.json the next
+# session's rotation automatically retires those 50 and surfaces the
+# remaining unvalidated gates, no manual bookkeeping.
+_DRIVER_SEEN_STATIC = frozenset({
     "binpack_batches", "binpack_deterministic", "chunk_counts",
     "chunk_embed_topk", "chunk_filter_short", "chunk_token_ids",
     "chunk_udtf_lateral", "collapse_repeated_lines", "cosine_topk",
@@ -104,13 +109,40 @@ _ROTATION_PRIORITY = [
 ]
 
 
+def _driver_seen(root: str | None = None) -> frozenset:
+    """Static floor ∪ every gate name in the per-round driver
+    artifacts at the repo root (CORRECTNESS_r*.json; the _local full
+    sweeps deliberately do NOT count — only driver-side validation
+    retires a gate from the rotation's front)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    seen = set(_DRIVER_SEEN_STATIC)
+    if root is None:
+        root = _os.path.dirname(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        )
+    for p in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as f:
+                d = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        qs = d.get("queries", d) if isinstance(d, dict) else {}
+        if isinstance(qs, dict):
+            seen.update(k for k, v in qs.items() if isinstance(v, dict))
+    return frozenset(seen)
+
+
 def _rotated(d: dict) -> dict:
-    prio = [n for n in _ROTATION_PRIORITY if n in d]
+    driver_seen = _driver_seen()
+    prio = [n for n in _ROTATION_PRIORITY if n in d and n not in driver_seen]
     in_prio = set(prio)
     unseen = [
-        n for n in d if n not in _DRIVER_SEEN and n not in in_prio
+        n for n in d if n not in driver_seen and n not in in_prio
     ]
-    seen = [n for n in d if n in _DRIVER_SEEN and n not in in_prio]
+    seen = [n for n in d if n in driver_seen and n not in in_prio]
     return {n: d[n] for n in (*prio, *unseen, *seen)}
 
 

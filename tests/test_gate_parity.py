@@ -45,3 +45,33 @@ def test_registry_counts_match_docs():
     assert f"{n_o} of {n_q} gate queries" in readme
     assert f"**{n_q} queries, {n_o} oracled — {n_o}/{n_o} hash-green" in coverage
     assert f"**{n_q} queries — {n_o} oracle-checked" in baseline
+
+
+def test_rotation_self_advances_on_driver_artifacts(tmp_path):
+    """The driver validates the FIRST 50 registry entries each round.
+    When a new per-round driver artifact (CORRECTNESS_r*.json) lands
+    at the repo root, the next import must retire its gate names to
+    the registry's tail so the following round's 50-gate budget
+    reaches never-validated gates — with no manual bookkeeping."""
+    import json
+
+    from fineweb_modal_spark.plans import queries as Q
+
+    before = list(Q.queries().keys())
+    front = before[:50]
+    # every front gate must carry an oracle (errorless driver artifact)
+    oracles = Q.oracles()
+    assert all(n in oracles for n in front)
+    # simulate the driver writing this round's artifact
+    (tmp_path / "CORRECTNESS_r98.json").write_text(
+        json.dumps({"queries": {n: {"hash_match": True} for n in front}})
+    )
+    seen = Q._driver_seen(root=str(tmp_path))
+    assert set(front) <= seen
+    # _local full sweeps must NOT retire gates
+    (tmp_path / "CORRECTNESS_local_r98.json").write_text(
+        json.dumps({"queries": {"only_local_gate": {"hash_match": True}}})
+    )
+    assert "only_local_gate" not in Q._driver_seen(root=str(tmp_path))
+    # and the live registry (no new artifact in the real root) is stable
+    assert list(Q.queries().keys()) == before
