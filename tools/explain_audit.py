@@ -37,6 +37,7 @@ def audit(sf_dir: str, out_path: str = "/root/repo/PLANS.md") -> None:
         "|---|---|---|---|---|---|---|",
     ]
     details = []
+    smj_gates: list[tuple[str, int]] = []
     for name, fn in qs.items():
         if name in ("events_hourly_stream", "sessionize_stream"):
             details.append(
@@ -65,10 +66,43 @@ def audit(sf_dir: str, out_path: str = "/root/repo/PLANS.md") -> None:
         lines.append(
             f"| {name} | {n_exchange} | {n_py} | {n_wsc} | {n_bhj} | {n_smj} | {n_push}/{n_scan} |"
         )
+        if n_smj:
+            smj_gates.append((name, n_smj))
         details.append(f"## {name}\n\n```\n{plan.strip()}\n```\n")
 
+    # The summary table counts joins in the INITIAL plan. AQE re-plans
+    # once exchange sizes are observed at runtime; built sides Catalyst
+    # cannot size statically (UDF-output relations like semantic
+    # dedup's dropped-id set) convert SMJ → broadcast then. EXECUTE
+    # every SMJ-flagged gate and record the final adaptive plan's join
+    # choices, so "SMJ" above is never mistaken for the runtime shape.
+    aqe = [
+        "",
+        "## AQE final-plan join selection (SMJ-flagged gates, executed)",
+        "",
+        "Any join still SMJ in the final plan is a FULL OUTER join "
+        "(two comparable-size snapshot/digest relations — Spark cannot "
+        "broadcast full outer, and sort-merge is the correct plan for "
+        "them at every scale).",
+        "",
+        "| query | initial SMJ | final broadcast joins | final SMJ |",
+        "|---|---|---|---|",
+    ]
+    for name, n_smj in smj_gates:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        ep = df._jdf.queryExecution().executedPlan().toString()
+        final = ep.split("== Initial Plan ==")[0]
+        aqe.append(
+            f"| {name} | {n_smj} | {final.count('BroadcastHashJoin')} "
+            f"| {final.count('SortMergeJoin')} |"
+        )
+
     with open(out_path, "w") as f:
-        f.write("\n".join(lines) + "\n\n" + "\n".join(details))
+        f.write(
+            "\n".join(lines) + "\n" + "\n".join(aqe) + "\n\n"
+            + "\n".join(details)
+        )
     print(f"wrote {out_path}")
 
 
