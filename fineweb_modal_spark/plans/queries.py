@@ -5017,5 +5017,104 @@ def q_summary_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GROUPING_SETS_SQL)
 
 
+# ---------------------------------------------------------------------------
+# WARC / WET container format (ISO 28500 — the Common Crawl wire format)
+# ---------------------------------------------------------------------------
+
+# The fixture serializes the SAME deterministic pages corpus into WARC
+# response records, so the scan + extraction must reproduce the pages
+# derivation byte-for-byte — url, WARC-Date, http status, and the
+# extracted text's md5 all at once.
+_WARC_SCAN_ORACLE = f"""
+WITH pages AS ({pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)})
+SELECT url, strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+       200 AS http_status, md5(text) AS text_md5
+FROM pages
+"""
+
+
+def _warc_fixture(sf_dir: str, compress: bool) -> str:
+    import tempfile
+
+    from ..sources import warc as warc_mod
+    from ..sources.tables import table_path
+
+    out = tempfile.mkdtemp(prefix="gate_warc_")
+    warc_mod.write_warc_shards(
+        table_path(sf_dir, "documents"), out, n_shards=4, compress=compress
+    )
+    return out
+
+
+def _warc_scan_extracted(spark: SparkSession, sf_dir: str, compress: bool):
+    from ..operators import extract
+    from ..sources import warc as warc_mod
+
+    crawl = warc_mod.read_warc(spark, _warc_fixture(sf_dir, compress))
+    return extract.with_extracted_text(crawl)
+
+
+@register("warc_scan_extract", _WARC_SCAN_ORACLE)
+def q_warc_scan_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-WARC response scan (one task per shard, Content-Length-
+    driven parser) → html payload → tag-strip extraction: the full
+    crawl→text entry path, hash-gated per url against the pages
+    derivation the fixture was serialized from."""
+    ex = _warc_scan_extracted(spark, sf_dir, compress=False)
+    return ex.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+        "http_status",
+        F.md5("extracted_text").alias("text_md5"),
+    )
+
+
+@register("warc_gz_scan_extract", _WARC_SCAN_ORACLE)
+def q_warc_gz_scan_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same scan over `.warc.gz` shards laid out the Common Crawl
+    way — one gzip member PER RECORD, members concatenated — proving
+    the compressed path byte-equivalent to the plain one."""
+    ex = _warc_scan_extracted(spark, sf_dir, compress=True)
+    return ex.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+        "http_status",
+        F.md5("extracted_text").alias("text_md5"),
+    )
+
+
+_WET_ROUNDTRIP_ORACLE = f"""
+WITH pages AS ({pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)})
+SELECT url, strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+       md5(text) AS text_md5
+FROM pages
+"""
+
+
+@register("wet_export_roundtrip", _WET_ROUNDTRIP_ORACLE)
+def q_wet_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC → extract → distributed WET export (per-task shard +
+    publish-by-rename commit, gzip members) → WET scan: the
+    extracted-text product round-trips losslessly through the
+    conversion-record container."""
+    import tempfile
+
+    from ..sources import warc as warc_mod
+
+    ex = _warc_scan_extracted(spark, sf_dir, compress=True)
+    wet_dir = tempfile.mkdtemp(prefix="gate_wet_")
+    warc_mod.write_wet_shards(
+        ex.select("url", "warc_ts", F.col("extracted_text").alias("text")),
+        wet_dir,
+        compress=True,
+    )
+    wet = warc_mod.read_wet(spark, wet_dir)
+    return wet.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401

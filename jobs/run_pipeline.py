@@ -30,6 +30,15 @@ hygiene      the composed five-stage hygiene pass (domain blocklist →
              recency URL keeper → line dedup → quality keep → scrub)
              over a crawl-feed parquet dir (doc_id/url/warc_ts/text),
              committed partitioned like batch.
+crawl        start at the crawl itself: --input is a WARC shard dir
+             (`.warc[.gz]`, ISO 28500 response records). Distributed
+             scan (one task per shard) → html→text extraction →
+             the same five-stage hygiene pass → committed partitioned
+             output; `--wet-output DIR` additionally publishes the
+             admitted scrubbed text as `.warc.wet.gz` conversion
+             shards (the Common Crawl WET product shape). doc_id is
+             the portable 60-bit md5 of the url — no upstream ids
+             needed.
 train-lm /   fit the bigram LM on a documents dir and persist it as
 score-lm     parquet relations; apply a stored LM to any corpus.
 train-clf /  distill the heuristic judge into the logistic classifier
@@ -60,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
         default="batch",
         choices=[
             "batch", "resume", "incremental", "stream-commit",
-            "hygiene",
+            "hygiene", "crawl",
             "train-lm", "score-lm", "train-clf", "score-clf",
             "curate",
         ],
@@ -70,6 +79,11 @@ def main(argv: list[str] | None = None) -> int:
         help="model directory: written by train-lm, read by score-lm",
     )
     ap.add_argument("--granularity", default="day", choices=["day", "minute"])
+    ap.add_argument(
+        "--wet-output", default=None,
+        help="crawl mode: also publish admitted scrubbed text as "
+             ".warc.wet.gz conversion shards under this dir",
+    )
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument(
         "--gopher", action="store_true",
@@ -89,15 +103,34 @@ def main(argv: list[str] | None = None) -> int:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     t0 = time.monotonic()
-    if args.mode == "hygiene":
-        # composed hygiene pass over a crawl-feed parquet dir
-        # (doc_id, url, warc_ts, text): blocklist -> recency keeper ->
-        # line dedup -> quality keep -> scrub, committed partitioned.
+    if args.mode in ("hygiene", "crawl"):
+        # composed hygiene pass (blocklist -> recency keeper -> line
+        # dedup -> quality keep -> scrub), committed partitioned.
+        # hygiene: --input is a crawl-feed parquet dir
+        # (doc_id, url, warc_ts, text). crawl: --input is a WARC shard
+        # dir — the feed is scanned straight off the container format
+        # (one task per gzip shard) and extracted in the same plan.
         from fineweb_modal_spark.operators import hygiene
 
-        feed = spark.read.parquet(args.input).select(
-            "doc_id", "url", "warc_ts", "text"
-        )
+        if args.mode == "crawl":
+            from fineweb_modal_spark.functions import sqldialect as sd
+            from fineweb_modal_spark.operators import extract
+            from fineweb_modal_spark.sources import warc as warc_mod
+            from fineweb_modal_spark.spec import hashing
+
+            crawl = warc_mod.read_warc(spark, args.input).where(
+                F.col("http_status") == 200
+            )
+            feed = extract.with_extracted_text(crawl).select(
+                F.expr(hashing.md5_i64("url", sd.SPARK)).alias("doc_id"),
+                "url",
+                "warc_ts",
+                F.col("extracted_text").alias("text"),
+            )
+        else:
+            feed = spark.read.parquet(args.input).select(
+                "doc_id", "url", "warc_ts", "text"
+            )
         res = hygiene.run_hygiene(feed).join(
             feed.select("doc_id", "url", "warc_ts"), "doc_id"
         )
@@ -114,11 +147,20 @@ def main(argv: list[str] | None = None) -> int:
             for ds in sinks.list_partitions(df)
         ]
         out = {
-            "mode": "hygiene",
+            "mode": args.mode,
             "partitions_committed": len(rows),
             "rows": sum(r["n_rows"] for r in rows),
             "keep": sum(r["n_keep"] for r in rows),
         }
+        if args.mode == "crawl" and args.wet_output:
+            # WET mirror of what was admitted: the curated-text product
+            # in the Common Crawl conversion-record shape.
+            admitted = (
+                res.where(F.col("keep"))
+                .select("url", "warc_ts", F.col("scrubbed_text").alias("text"))
+            )
+            wet = warc_mod.write_wet_shards(admitted, args.wet_output)
+            out["wet_shards"] = len(wet)
     elif args.mode == "train-lm":
         # fit the bigram LM on a documents parquet dir (doc_id, text)
         # and persist the model as its two count relations + meta —

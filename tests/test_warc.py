@@ -1,0 +1,151 @@
+"""WARC/WET container source+sink: parser edge cases and publish
+discipline (the gate queries cover end-to-end hash parity; these pin
+the corners the fixture can't reach)."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+
+import pytest
+
+from fineweb_modal_spark.sources import warc as W
+
+from .conftest import SF_ORACLE
+
+DOCS = os.path.join(SF_ORACLE, "documents.parquet")
+
+
+def _record_bytes(**over):
+    url = over.get("url", "https://h1.example.com/p/1")
+    html = over.get("html", b"<p>hi</p>")
+    return W._response_record(url, "2024-01-01T00:00:01Z", html)
+
+
+def test_content_length_delimits_not_crlfcrlf():
+    """A payload containing CRLFCRLF (and header-looking bytes) must
+    not end the record early — only Content-Length delimits."""
+    evil = b"<pre>WARC/1.0\r\n\r\nWARC-Type: response\r\n\r\n</pre>"
+    stream = io.BytesIO(_record_bytes(html=evil) + _record_bytes())
+    recs = list(W.iter_warc_records(stream))
+    assert len(recs) == 2
+    status, payload = W._parse_http_response(recs[0][1])
+    assert status == 200
+    assert payload == evil
+
+
+def test_non_response_records_skipped(spark, tmp_path):
+    shard = tmp_path / "x-00000-of-00001.warc"
+    shard.write_bytes(
+        W._warcinfo_record("x.warc")
+        + _record_bytes()
+        + W._warc_record(
+            "request",
+            [
+                ("WARC-Record-ID", "<urn:uuid:0>"),
+                ("WARC-Date", "2024-01-01T00:00:00Z"),
+                ("WARC-Target-URI", "https://h1.example.com/p/1"),
+            ],
+            b"GET / HTTP/1.1\r\n\r\n",
+        )
+    )
+    df = W.read_warc(spark, str(tmp_path))
+    assert df.count() == 1
+
+
+def test_truncated_body_raises():
+    rec = _record_bytes()
+    with pytest.raises(ValueError, match="truncated"):
+        list(W.iter_warc_records(io.BytesIO(rec[:-10])))
+
+
+def test_garbage_leader_raises():
+    with pytest.raises(ValueError, match="WARC version"):
+        list(W.iter_warc_records(io.BytesIO(b"HTTP/1.1 200 OK\r\n\r\n")))
+
+
+def test_empty_dir_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        W.read_warc(spark, str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        W.read_wet(spark, str(tmp_path))
+
+
+def test_listing_ignores_tmp_and_separates_wet(tmp_path):
+    (tmp_path / "a-00000-of-00001.warc").write_bytes(b"")
+    (tmp_path / "wet-00000-of-00001.warc.wet.gz").write_bytes(b"")
+    (tmp_path / "wet-deadbeef.tmp").write_bytes(b"")
+    assert [os.path.basename(p) for p in W.list_warc_shards(str(tmp_path))] == [
+        "a-00000-of-00001.warc"
+    ]
+    assert [
+        os.path.basename(p) for p in W.list_warc_shards(str(tmp_path), wet=True)
+    ] == ["wet-00000-of-00001.warc.wet.gz"]
+
+
+def test_fixture_bytes_deterministic(tmp_path):
+    a = W.write_warc_shards(DOCS, str(tmp_path / "a"), n_shards=2, compress=True)
+    b = W.write_warc_shards(DOCS, str(tmp_path / "b"), n_shards=2, compress=True)
+    for pa_, pb in zip(a, b):
+        assert open(pa_, "rb").read() == open(pb, "rb").read()
+
+
+def test_gzip_members_individually_addressable(tmp_path):
+    """CC layout: each record its own gzip member — a single member
+    must decompress standalone (range-request addressability)."""
+    [path] = W.write_warc_shards(DOCS, str(tmp_path), n_shards=1, compress=True)
+    raw = open(path, "rb").read()
+    # second member starts at the next gzip magic after the first
+    second = raw.index(b"\x1f\x8b", 2)
+    first = gzip.decompress(raw[:second])
+    assert first.startswith(b"WARC/1.0\r\n")
+    assert b"WARC-Type: warcinfo" in first
+
+
+def test_job_crawl_mode(spark, tmp_path):
+    """--mode crawl: WARC shards in → extract → hygiene → committed
+    partitioned output, with the admitted scrubbed text mirrored as
+    WET conversion shards whose bytes match the committed table."""
+    import jobs.run_pipeline as job
+
+    from fineweb_modal_spark import sinks
+
+    warc_dir = str(tmp_path / "warc")
+    W.write_warc_shards(DOCS, warc_dir, n_shards=3, compress=True)
+    out = str(tmp_path / "crawl_out")
+    wet_dir = str(tmp_path / "wet")
+    rc = job.main(
+        ["--input", warc_dir, "--output", out, "--mode", "crawl",
+         "--granularity", "minute", "--wet-output", wet_dir]
+    )
+    assert rc == 0
+    got = sinks.read_output(spark, out)
+    assert {"url", "ds", "salt", "doc_id", "keep", "drop_reason",
+            "n_removed", "scrubbed_text"} <= set(got.columns)
+    rows = got.collect()
+    assert len(rows) > 0 and any(r.keep for r in rows)
+    for r in rows:
+        assert (r.scrubbed_text is not None) == bool(r.keep)
+    # the WET mirror carries exactly the admitted text, byte-identical
+    wet = {r.url: r.text for r in W.read_wet(spark, wet_dir).collect()}
+    admitted = {r.url: r.scrubbed_text for r in rows if r.keep}
+    assert wet == admitted
+
+
+def test_wet_shard_contract_and_counts(spark, tmp_path):
+    warc_dir = tmp_path / "warc"
+    W.write_warc_shards(DOCS, str(warc_dir), n_shards=3)
+    crawl = W.read_warc(spark, str(warc_dir))
+    from pyspark.sql import functions as F
+
+    from fineweb_modal_spark.operators import extract
+
+    ex = extract.with_extracted_text(crawl).select(
+        "url", "warc_ts", F.col("extracted_text").alias("text")
+    )
+    out = W.write_wet_shards(ex, str(tmp_path / "wet"), compress=True)
+    assert [os.path.basename(p) for p in out] == [
+        f"wet-{i:05d}-of-{len(out):05d}.warc.wet.gz" for i in range(len(out))
+    ]
+    assert W.read_wet(spark, str(tmp_path / "wet")).count() == crawl.count()
