@@ -68,6 +68,42 @@ def linked_pages_sql(d: str, pages: str = "pages") -> str:
     )
 
 
+def linked_html_py(doc_id: int) -> str:
+    """Pure-Python mirror of `linked_pages_sql`'s html decoration —
+    used by the WARC fixture writer so crawl shards carry the SAME
+    planted outlinks the SQL derivation produces (the WAT gates'
+    hash parity is what pins the two mirrors together)."""
+    h1, h2 = (doc_id + 1) % 13, (doc_id * 5 + 2) % 13
+    s = (
+        "<html><body><p>x</p>"
+        f'<a href="https://h{h1}.example.com/l/1">topic {doc_id % 7} guide</a>'
+        f'<a href="https://h{h2}.example.com/l/2">read more here</a>'
+    )
+    if doc_id % 2 == 0:
+        s += '<a href="https://h0.example.com/t">trusted home page</a>'
+    return s + "</body></html>"
+
+
+# full link URL + anchor text in one pattern (WAT extraction — unlike
+# _HREF_RE/_ANCHOR_RE this keeps the complete target URL, which is
+# what a WAT metadata record carries)
+_LINK_RE = 'href="(https://[^"]+)"[^>]*>([^<]*)<'
+
+
+def with_links(crawl: DataFrame, html_col: str = "html") -> DataFrame:
+    """crawl + `links array<struct<url,text>>`: both capture groups
+    extract in one codegen pass; arrays_zip keeps (url, text) aligned
+    with zero joins — the WAT-building step of a crawl pipeline."""
+    h = f"CAST({html_col} AS STRING)"
+    return crawl.withColumn(
+        "links",
+        F.arrays_zip(
+            F.expr(f"regexp_extract_all({h}, '{_LINK_RE}', 1)").alias("url"),
+            F.expr(f"regexp_extract_all({h}, '{_LINK_RE}', 2)").alias("text"),
+        ),
+    )
+
+
 def host_edges(linked: DataFrame) -> DataFrame:
     """(src, dst, w): host-granular weighted edge list from hrefs."""
     hosted = blocklist.with_host(linked)

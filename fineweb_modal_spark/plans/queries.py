@@ -5033,7 +5033,7 @@ FROM pages
 """
 
 
-def _warc_fixture(sf_dir: str, compress: bool) -> str:
+def _warc_fixture(sf_dir: str, compress: bool, linked: bool = False) -> str:
     import tempfile
 
     from ..sources import warc as warc_mod
@@ -5041,7 +5041,8 @@ def _warc_fixture(sf_dir: str, compress: bool) -> str:
 
     out = tempfile.mkdtemp(prefix="gate_warc_")
     warc_mod.write_warc_shards(
-        table_path(sf_dir, "documents"), out, n_shards=4, compress=compress
+        table_path(sf_dir, "documents"), out, n_shards=4,
+        compress=compress, linked=linked,
     )
     return out
 
@@ -5113,6 +5114,137 @@ def q_wet_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url",
         F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
         F.md5("text").alias("text_md5"),
+    )
+
+
+# --- WAT metadata records (the third CC product: per-page outlinks) ---
+
+# Both WAT gates run over a LINKED crawl fixture — html carries the
+# same planted outlinks linked_pages_sql derives in SQL, so the oracle
+# re-derives link structure straight from the SQL html while Spark
+# goes crawl-bytes → with_links → WAT shards → scan.
+_WAT_LINK_RE_SQL = 'href="(https://[^"]+)"[^>]*>([^<]*)<'
+
+_WAT_ROUNDTRIP_ORACLE = f"""
+WITH pages AS ({pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)}),
+linked AS ({linkgraph_op.linked_pages_sql(sd.DUCKDB, 'pages')})
+SELECT p.url, strftime(p.warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+       CAST(len(regexp_extract_all(l.html, '{_WAT_LINK_RE_SQL}', 1)) AS BIGINT)
+           AS n_links,
+       md5(array_to_string(
+           regexp_extract_all(l.html, '{_WAT_LINK_RE_SQL}', 1), '|'))
+           AS link_urls_md5,
+       md5(array_to_string(
+           regexp_extract_all(l.html, '{_WAT_LINK_RE_SQL}', 2), '|'))
+           AS anchors_md5
+FROM linked l JOIN pages p USING (doc_id)
+"""
+
+
+def _wat_from_crawl(spark: SparkSession, sf_dir: str):
+    """linked WARC fixture → with_links → WAT export → WAT scan."""
+    import tempfile
+
+    from ..sources import warc as warc_mod
+
+    crawl = warc_mod.read_warc(
+        spark, _warc_fixture(sf_dir, compress=True, linked=True)
+    )
+    linked = linkgraph_op.with_links(crawl)
+    wat_dir = tempfile.mkdtemp(prefix="gate_wat_")
+    warc_mod.write_wat_shards(
+        linked.select("url", "warc_ts", "links"), wat_dir, compress=True
+    )
+    return warc_mod.read_wat(spark, wat_dir)
+
+
+@register("wat_export_roundtrip", _WAT_ROUNDTRIP_ORACLE)
+def q_wat_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl → one-codegen-pass link extraction (with_links) →
+    distributed WAT export (JSON metadata envelopes, rename-publish)
+    → WAT scan: per-url link lists (URLs AND anchor texts, document
+    order) survive the container byte-exactly."""
+    wat = _wat_from_crawl(spark, sf_dir)
+    return wat.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+        F.size("links").cast("bigint").alias("n_links"),
+        F.md5(F.concat_ws("|", F.expr("transform(links, x -> x.url)")))
+            .alias("link_urls_md5"),
+        F.md5(F.concat_ws("|", F.expr("transform(links, x -> x.text)")))
+            .alias("anchors_md5"),
+    )
+
+
+_WAT_EDGES_ORACLE = f"""
+WITH pages AS ({pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)}),
+linked AS ({linkgraph_op.linked_pages_sql(sd.DUCKDB, 'pages')}),
+hrefs AS (
+  SELECT regexp_extract(url, 'https://([^/]+)', 1) AS src,
+         unnest(regexp_extract_all(html, 'href="https://([^/"]+)', 1)) AS dst
+  FROM linked
+)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+FROM hrefs GROUP BY src, dst
+"""
+
+
+@register("wat_host_edges", _WAT_EDGES_ORACLE)
+def q_wat_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-granular weighted edge list built FROM THE WAT PRODUCT —
+    at CC scale the link graph is always built from WAT (a ~10×
+    smaller scan than re-parsing WARC html); oracle re-derives the
+    same edges straight from the html, proving the metadata sidecar
+    carries the full graph."""
+    wat = _wat_from_crawl(spark, sf_dir)
+    return (
+        wat.select(
+            F.regexp_extract("url", "https://([^/]+)", 1).alias("src"),
+            F.explode("links").alias("l"),
+        )
+        .select(
+            "src",
+            F.regexp_extract(F.col("l.url"), "https://([^/]+)", 1).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+
+
+# --- CDX point lookup (ranged reads into the crawl, never a scan) ---
+
+_CDX_FETCH_ORACLE = f"""
+WITH pages AS ({pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)})
+SELECT url, 200 AS http_status, md5(text) AS text_md5
+FROM pages WHERE doc_id % 17 = 0
+"""
+
+
+@register("cdx_point_fetch", _CDX_FETCH_ORACLE)
+def q_cdx_point_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the CDX url index over gzip WARC shards (distributed,
+    one streaming pass per shard), publish it sorted, then fetch an
+    arbitrary url subset by seek+read of EXACTLY the indexed gzip
+    members — the 100 TB random-access contract — and prove the
+    fetched pages extract byte-identically to the corpus derivation."""
+    import tempfile
+
+    from ..operators import extract
+    from ..sources import cdx as cdx_mod
+
+    warc_dir = _warc_fixture(sf_dir, compress=True)
+    cdx_dir = tempfile.mkdtemp(prefix="gate_cdx_")
+    cdx_mod.write_cdx(cdx_mod.build_cdx(spark, warc_dir), cdx_dir)
+    wanted = cdx_mod.read_cdx(spark, cdx_dir).where(
+        F.expr(
+            "CAST(regexp_extract(url, '/p/([0-9]+)$', 1) AS BIGINT) % 17 = 0"
+        )
+    )
+    fetched = cdx_mod.fetch_records(wanted)
+    return extract.with_extracted_text(fetched).select(
+        "url",
+        "http_status",
+        F.md5("extracted_text").alias("text_md5"),
     )
 
 

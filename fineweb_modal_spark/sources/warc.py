@@ -17,7 +17,10 @@ This module closes that loop Spark-side:
   contain `\\r\\n\\r\\n`; only the length field delimits), batched into
   pandas frames of `_BATCH_ROWS` so peak task memory is a batch, not
   a file.
-* `write_wet_shards` — a DISTRIBUTED export sink: each task streams
+* `write_wet_shards` / `write_wat_shards` — DISTRIBUTED export
+  sinks (WET = extracted text as conversion records; WAT = per-page
+  JSON metadata envelopes carrying the outlinks extracted Spark-side
+  by linkgraph.with_links): each task streams
   its partition into a `.tmp` shard and returns (tmp_path, n_rows);
   the driver's commit renames survivors to
   `wet-{i:05d}-of-{n:05d}.warc.wet[.gz]` — the same publish-by-rename
@@ -51,18 +54,31 @@ _CRLF = b"\r\n"
 
 WARC_SCHEMA = "url string, warc_ts timestamp, http_status int, html binary"
 WET_SCHEMA = "url string, warc_ts timestamp, text string"
+WAT_SCHEMA = (
+    "url string, warc_ts timestamp, "
+    "links array<struct<url: string, text: string>>"
+)
 
 
-def list_warc_shards(shard_dir: str, wet: bool = False) -> list[str]:
+def list_warc_shards(
+    shard_dir: str, wet: bool = False, wat: bool = False
+) -> list[str]:
     """Published shards only — `.tmp` partials are never visible."""
     if not os.path.isdir(shard_dir):
         return []
-    want = (".warc.wet", ".warc.wet.gz") if wet else (".warc", ".warc.gz")
+    if wet:
+        want = (".warc.wet", ".warc.wet.gz")
+    elif wat:
+        want = (".warc.wat", ".warc.wat.gz")
+    else:
+        want = (".warc", ".warc.gz")
     out = []
     for f in os.listdir(shard_dir):
         if f.endswith(want) and not f.endswith(".tmp"):
-            # a plain-warc listing must not pick up wet shards
-            if not wet and ".warc.wet" in f:
+            # a plain-warc listing must not pick up wet/wat shards
+            if not wet and not wat and (
+                ".warc.wet" in f or ".warc.wat" in f
+            ):
                 continue
             out.append(os.path.join(shard_dir, f))
     return sorted(out)
@@ -130,12 +146,15 @@ def write_warc_shards(
     out_dir: str,
     n_shards: int = 4,
     compress: bool = False,
+    linked: bool = False,
 ) -> list[str]:
     """documents parquet → deterministic WARC response shards.
 
     Shard assignment `doc_id % n_shards`, doc_id-ascending within a
     shard; record ids/dates are pure functions of the row — the same
-    fixture bytes on every run.
+    fixture bytes on every run. `linked=True` swaps the page html for
+    the planted-outlink decoration (`linkgraph.linked_html_py`) so the
+    crawl carries the link graph the WAT gates re-derive.
     """
     import pyarrow.parquet as pq
 
@@ -164,11 +183,16 @@ def write_warc_shards(
                 if doc_id % n_shards != i:
                     continue
                 page = pages_mod.derive_page_py(doc_id, text, lang, n_chars)
+                html = page["html"]
+                if linked:
+                    from ..operators.linkgraph import linked_html_py
+
+                    html = linked_html_py(doc_id).encode("utf-8")
                 recs.append(
                     _response_record(
                         page["url"],
                         page["warc_ts"].strftime(WARC_DATE_FMT),
-                        page["html"],
+                        html,
                     )
                 )
             for rec in recs:
@@ -342,16 +366,20 @@ def _conversion_record(url: str, date_s: str, text: str) -> bytes:
     )
 
 
-def write_wet_shards(
-    df: DataFrame, out_dir: str, compress: bool = True
+def _export_shards(
+    df: DataFrame,
+    cols: list[str],
+    make_record,
+    out_dir: str,
+    prefix: str,
+    plain_ext: str,
+    compress: bool,
 ) -> list[str]:
-    """(url, warc_ts, text) DataFrame → published WET shards.
-
-    Each task streams its partition to `wet-<uuid>.tmp` and reports
-    (tmp_path, n_rows); the driver's commit (one bounded row per
-    PARTITION, never row data) renames survivors into the
-    `wet-{i:05d}-of-{n:05d}` contract. Torn runs leave only `.tmp`.
-    """
+    """Distributed record-container export: each task streams its
+    partition to `{prefix}-<uuid>.tmp` and reports (tmp_path, n_rows);
+    the driver's commit (one bounded row per PARTITION, never row
+    data) renames survivors into the `{prefix}-{i:05d}-of-{n:05d}`
+    contract. Torn runs leave only `.tmp`, which readers ignore."""
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
@@ -360,12 +388,12 @@ def write_wet_shards(
         tmp, f, n = None, None, 0
         for pdf in frames:
             if len(pdf) and f is None:
-                tmp = os.path.join(out_dir, f"wet-{uuid.uuid4().hex}.tmp")
-                f = open(tmp, "wb")
-            for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
-                rec = _conversion_record(
-                    url, pd.Timestamp(ts).strftime(WARC_DATE_FMT), text
+                tmp = os.path.join(
+                    out_dir, f"{prefix}-{uuid.uuid4().hex}.tmp"
                 )
+                f = open(tmp, "wb")
+            for vals in zip(*(pdf[c] for c in cols)):
+                rec = make_record(*vals)
                 f.write(_gzip_member(rec) if compress else rec)
                 n += 1
         if f is not None:
@@ -373,15 +401,150 @@ def write_wet_shards(
             yield pd.DataFrame({"tmp": [tmp], "n": [n]})
 
     commits = (
-        df.select("url", "warc_ts", "text")
+        df.select(*cols)
         .mapInPandas(dump, schema="tmp string, n long")
         .collect()  # bounded: one row per non-empty partition
     )
-    ext = ".warc.wet.gz" if compress else ".warc.wet"
+    ext = plain_ext + (".gz" if compress else "")
     tmps = sorted(r["tmp"] for r in commits)
     out = []
     for i, tmp in enumerate(tmps):
-        dst = os.path.join(out_dir, f"wet-{i:05d}-of-{len(tmps):05d}{ext}")
+        dst = os.path.join(
+            out_dir, f"{prefix}-{i:05d}-of-{len(tmps):05d}{ext}"
+        )
         os.rename(tmp, dst)
         out.append(dst)
     return out
+
+
+def write_wet_shards(
+    df: DataFrame, out_dir: str, compress: bool = True
+) -> list[str]:
+    """(url, warc_ts, text) DataFrame → published WET shards."""
+    import pandas as pd
+
+    def rec(url, ts, text):
+        return _conversion_record(
+            url, pd.Timestamp(ts).strftime(WARC_DATE_FMT), text
+        )
+
+    return _export_shards(
+        df, ["url", "warc_ts", "text"], rec, out_dir,
+        "wet", ".warc.wet", compress,
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAT metadata records (per-response JSON envelope with extracted links)
+# ---------------------------------------------------------------------------
+
+
+def _metadata_record(url: str, date_s: str, links) -> bytes:
+    """CC-shaped WAT metadata record: a JSON envelope whose
+    HTML-Metadata carries the extracted outlinks in document order.
+    Canonical json.dumps (sorted keys, no whitespace) makes the bytes
+    a pure function of the row."""
+    import json
+
+    env = {
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Date": date_s,
+                "WARC-Target-URI": url,
+                "WARC-Type": "response",
+            },
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": {
+                        "Links": [
+                            {"text": l["text"], "url": l["url"]}
+                            for l in links
+                        ]
+                    }
+                }
+            },
+        }
+    }
+    body = json.dumps(env, sort_keys=True, separators=(",", ":")).encode()
+    return _warc_record(
+        "metadata",
+        [
+            ("WARC-Record-ID", _record_id("metadata:" + url)),
+            ("WARC-Refers-To", _record_id(url)),
+            ("WARC-Date", date_s),
+            ("WARC-Target-URI", url),
+            ("Content-Type", "application/json"),
+        ],
+        body,
+    )
+
+
+def write_wat_shards(
+    df: DataFrame, out_dir: str, compress: bool = True
+) -> list[str]:
+    """(url, warc_ts, links array<struct<url,text>>) → WAT shards.
+
+    The link EXTRACTION happens Spark-side (linkgraph.with_links, one
+    codegen regex pass) — this sink only serializes; same
+    publish-by-rename contract as the WET sink."""
+    import pandas as pd
+
+    def rec(url, ts, links):
+        return _metadata_record(
+            url,
+            pd.Timestamp(ts).strftime(WARC_DATE_FMT),
+            list(links) if links is not None else [],
+        )
+
+    return _export_shards(
+        df, ["url", "warc_ts", "links"], rec, out_dir,
+        "wat", ".warc.wat", compress,
+    )
+
+
+def read_wat(spark: SparkSession, wat_dir: str) -> DataFrame:
+    """Distributed metadata-record scan → (url, warc_ts, links)."""
+    import json
+
+    import pandas as pd
+
+    paths = list_warc_shards(wat_dir, wat=True)
+    if not paths:
+        raise FileNotFoundError(f"no .warc.wat[.gz] shards under {wat_dir}")
+
+    def scan(frames):
+        for pdf in frames:
+            for path in pdf["path"]:
+                rows: list[tuple] = []
+                with _open_stream(path) as f:
+                    for headers, body in iter_warc_records(f):
+                        if headers.get("warc-type") != "metadata":
+                            continue
+                        env = json.loads(body)["Envelope"]
+                        links = env["Payload-Metadata"][
+                            "HTTP-Response-Metadata"
+                        ]["HTML-Metadata"]["Links"]
+                        rows.append(
+                            (
+                                headers["warc-target-uri"],
+                                _parse_warc_date(headers["warc-date"]),
+                                [
+                                    {"url": l["url"], "text": l["text"]}
+                                    for l in links
+                                ],
+                            )
+                        )
+                        if len(rows) >= _BATCH_ROWS:
+                            yield pd.DataFrame(
+                                rows, columns=["url", "warc_ts", "links"]
+                            )
+                            rows = []
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["url", "warc_ts", "links"]
+                    )
+
+    files = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(len(paths))
+    return files.mapInPandas(scan, schema=WAT_SCHEMA)

@@ -36,9 +36,11 @@ crawl        start at the crawl itself: --input is a WARC shard dir
              the same five-stage hygiene pass → committed partitioned
              output; `--wet-output DIR` additionally publishes the
              admitted scrubbed text as `.warc.wet.gz` conversion
-             shards (the Common Crawl WET product shape). doc_id is
-             the portable 60-bit md5 of the url — no upstream ids
-             needed.
+             shards (the Common Crawl WET product shape), and
+             `--wat-output DIR` publishes per-page outlink metadata
+             as `.warc.wat.gz` sidecars — all three CC products from
+             one scan. doc_id is the portable 60-bit md5 of the url —
+             no upstream ids needed.
 train-lm /   fit the bigram LM on a documents dir and persist it as
 score-lm     parquet relations; apply a stored LM to any corpus.
 train-clf /  distill the heuristic judge into the logistic classifier
@@ -83,6 +85,11 @@ def main(argv: list[str] | None = None) -> int:
         "--wet-output", default=None,
         help="crawl mode: also publish admitted scrubbed text as "
              ".warc.wet.gz conversion shards under this dir",
+    )
+    ap.add_argument(
+        "--wat-output", default=None,
+        help="crawl mode: also publish per-page outlink metadata as "
+             ".warc.wat.gz sidecar shards under this dir",
     )
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument(
@@ -161,6 +168,19 @@ def main(argv: list[str] | None = None) -> int:
             )
             wet = warc_mod.write_wet_shards(admitted, args.wet_output)
             out["wet_shards"] = len(wet)
+        if args.mode == "crawl" and args.wat_output:
+            # WAT sidecar for EVERY fetched page (metadata is per
+            # crawl record, not per admitted doc): outlinks extracted
+            # in one codegen pass off the same scan.
+            from fineweb_modal_spark.operators import linkgraph
+
+            wat = warc_mod.write_wat_shards(
+                linkgraph.with_links(crawl).select(
+                    "url", "warc_ts", "links"
+                ),
+                args.wat_output,
+            )
+            out["wat_shards"] = len(wat)
     elif args.mode == "train-lm":
         # fit the bigram LM on a documents parquet dir (doc_id, text)
         # and persist the model as its two count relations + meta —

@@ -115,11 +115,18 @@ def test_job_crawl_mode(spark, tmp_path):
     W.write_warc_shards(DOCS, warc_dir, n_shards=3, compress=True)
     out = str(tmp_path / "crawl_out")
     wet_dir = str(tmp_path / "wet")
+    wat_dir = str(tmp_path / "wat")
     rc = job.main(
         ["--input", warc_dir, "--output", out, "--mode", "crawl",
-         "--granularity", "minute", "--wet-output", wet_dir]
+         "--granularity", "minute", "--wet-output", wet_dir,
+         "--wat-output", wat_dir]
     )
     assert rc == 0
+    # WAT sidecar covers EVERY fetched page (link extraction itself is
+    # hash-gated by wat_export_roundtrip; base-fixture pages carry none)
+    wat = W.read_wat(spark, wat_dir)
+    n_pages = W.read_warc(spark, warc_dir).count()
+    assert wat.count() == n_pages
     got = sinks.read_output(spark, out)
     assert {"url", "ds", "salt", "doc_id", "keep", "drop_reason",
             "n_removed", "scrubbed_text"} <= set(got.columns)
@@ -131,6 +138,67 @@ def test_job_crawl_mode(spark, tmp_path):
     wet = {r.url: r.text for r in W.read_wet(spark, wet_dir).collect()}
     admitted = {r.url: r.scrubbed_text for r in rows if r.keep}
     assert wet == admitted
+
+
+def test_linked_html_matches_sql_derivation(spark):
+    """linked_html_py (fixture mirror) ≡ linked_pages_sql (Spark) for
+    every doc — the parity the WAT gates lean on, pinned directly."""
+    from fineweb_modal_spark.functions import sqldialect as sd
+    from fineweb_modal_spark.operators import linkgraph as lg
+    from fineweb_modal_spark.sources import pages as pages_mod
+
+    pages = pages_mod.load_pages(spark, SF_ORACLE, with_html=False)
+    pages.createOrReplaceTempView("pages_lhp")
+    sql_rows = spark.sql(
+        lg.linked_pages_sql(sd.SPARK, "pages_lhp")
+    ).select("doc_id", "html").collect()
+    assert sql_rows and all(
+        r.html == lg.linked_html_py(r.doc_id) for r in sql_rows
+    )
+
+
+def test_wat_roundtrip_preserves_link_structs(spark, tmp_path):
+    """Links survive the JSON envelope with order, url, AND anchor
+    text intact (incl. a link-free page → empty array, not null)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                url="https://h1.example.com/p/1",
+                warc_ts=__import__("datetime").datetime(2024, 1, 1),
+                links=[
+                    Row(url="https://h2.example.com/a", text="alpha beta"),
+                    Row(url="https://h3.example.com/b", text=""),
+                ],
+            ),
+            Row(
+                url="https://h4.example.com/p/2",
+                warc_ts=__import__("datetime").datetime(2024, 1, 2),
+                links=[],
+            ),
+        ],
+        schema=W.WAT_SCHEMA,
+    )
+    W.write_wat_shards(df, str(tmp_path), compress=True)
+    back = {r.url: r for r in W.read_wat(spark, str(tmp_path)).collect()}
+    assert [(x.url, x.text) for x in back["https://h1.example.com/p/1"].links] == [
+        ("https://h2.example.com/a", "alpha beta"),
+        ("https://h3.example.com/b", ""),
+    ]
+    assert list(back["https://h4.example.com/p/2"].links) == []
+
+
+def test_wat_listing_separate_from_warc(tmp_path):
+    (tmp_path / "a-00000-of-00001.warc.gz").write_bytes(b"")
+    (tmp_path / "wat-00000-of-00001.warc.wat.gz").write_bytes(b"")
+    (tmp_path / "wat-cafebabe.tmp").write_bytes(b"")
+    assert [os.path.basename(p) for p in W.list_warc_shards(str(tmp_path))] == [
+        "a-00000-of-00001.warc.gz"
+    ]
+    assert [
+        os.path.basename(p) for p in W.list_warc_shards(str(tmp_path), wat=True)
+    ] == ["wat-00000-of-00001.warc.wat.gz"]
 
 
 def test_wet_shard_contract_and_counts(spark, tmp_path):
