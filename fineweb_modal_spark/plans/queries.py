@@ -5211,6 +5211,61 @@ def q_wat_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("warc_datasource_scan", _WARC_SCAN_ORACLE)
+def q_warc_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl scan through the PySpark-4 Python Data Source API:
+    registered `warc` format, one InputPartition per shard — must
+    agree byte-for-byte with the mapInPandas scan (same oracle as
+    `warc_scan_extract`)."""
+    from ..operators import extract
+    from ..sources import warc as warc_mod
+
+    warc_mod.register_warc_datasource(spark)
+    crawl = spark.read.format("warc").load(
+        _warc_fixture(sf_dir, compress=True)
+    )
+    ex = extract.with_extracted_text(crawl)
+    return ex.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+        "http_status",
+        F.md5("extracted_text").alias("text_md5"),
+    )
+
+
+@register("warc_stream_ingest", _WARC_SCAN_ORACLE)
+def q_warc_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous crawl ingestion: `readStream.format(\"warc\")` with
+    shard-count offsets (each micro-batch reads only newly published
+    shards, checkpoint-resumable, exactly-once at file granularity),
+    drained availableNow into a memory sink — the streaming scan must
+    hash-equal the batch derivation."""
+    import uuid as uuid_mod
+
+    from ..operators import extract
+    from ..sources import warc as warc_mod
+
+    warc_mod.register_warc_datasource(spark)
+    crawl = spark.readStream.format("warc").load(
+        _warc_fixture(sf_dir, compress=True)
+    )
+    ex = extract.with_extracted_text(crawl).select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+        "http_status",
+        F.md5("extracted_text").alias("text_md5"),
+    )
+    name = f"warc_ingest_{uuid_mod.uuid4().hex[:8]}"
+    q = (
+        ex.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # --- CDX point lookup (ranged reads into the crawl, never a scan) ---
 
 _CDX_FETCH_ORACLE = f"""

@@ -201,6 +201,49 @@ def test_wat_listing_separate_from_warc(tmp_path):
     ] == ["wat-00000-of-00001.warc.wat.gz"]
 
 
+def _run_warc_stream(spark, warc_dir, out, ck):
+    q = (
+        spark.readStream.format("warc").load(warc_dir)
+        .selectExpr("url", "http_status")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+
+def test_warc_stream_incremental_arrival(spark, tmp_path):
+    """New shards published between runs are the ONLY thing the next
+    run reads (shard-count offsets + checkpoint = exactly-once at
+    file granularity)."""
+    W.register_warc_datasource(spark)
+    d = str(tmp_path / "crawl")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    W.write_warc_shards(DOCS, d, n_shards=4, compress=True)
+    _run_warc_stream(spark, d, out, ck)
+    assert spark.read.parquet(out).count() == 500
+    # two more shards arrive, sorted after the existing prefix
+    extra = tmp_path / "extra"
+    W.write_warc_shards(DOCS, str(extra), n_shards=2, compress=True)
+    for f in sorted(os.listdir(extra)):
+        os.rename(extra / f, os.path.join(d, "z-" + f))
+    _run_warc_stream(spark, d, out, ck)
+    got = spark.read.parquet(out)
+    assert got.count() == 1000  # 500 old (not re-read) + 500 new
+    assert got.select("url").distinct().count() == 500
+
+
+def test_warc_stream_shrunk_listing_fails_loudly(spark, tmp_path):
+    """Deleting shards below the committed offset must error, never
+    silently skip data."""
+    from fineweb_modal_spark.sources.warc import make_warc_datasource
+
+    ds = make_warc_datasource()(options={"path": str(tmp_path)})
+    r = ds.streamReader(None)
+    with pytest.raises(ValueError, match="append-only"):
+        r.partitions({"n": 0}, {"n": 3})
+
+
 def test_wet_shard_contract_and_counts(spark, tmp_path):
     warc_dir = tmp_path / "warc"
     W.write_warc_shards(DOCS, str(warc_dir), n_shards=3)
