@@ -57,6 +57,8 @@ HEADLINE = [
     "tpch_q1_pricing_summary",  # scan-heavy partial agg over lineitem
     "tpch_q9_product_profit",  # 6-way join: 1 fact shuffle + broadcast dims
     "tpch_q18_large_volume_customer",  # agg-filtered semi join + top-100
+    "crawl_scan_extract",  # WARC gz scan (task/shard) + html->text, fixture untimed
+    "cdx_build",  # CDX member-span index build, one streaming pass/shard
 ]
 
 
@@ -73,7 +75,23 @@ def _run_once(spark, sf_dir: str) -> dict[str, float]:
     qs = entrymod.queries()
     times: dict[str, float] = {}
     ivf_index = None
+    warc_dir = None
     for name in HEADLINE:
+        if name in ("crawl_scan_extract", "cdx_build") and warc_dir is None:
+            # fixture serialization is UNTIMED setup — at scale the
+            # crawl shards pre-exist; what the engine owns (and what
+            # these rows time) is the scan side
+            import tempfile
+
+            from fineweb_modal_spark.sources import warc as warc_mod
+
+            warc_dir = tempfile.mkdtemp(prefix="bench_warc_")
+            warc_mod.write_warc_shards(
+                os.path.join(sf_dir, "documents.parquet"),
+                warc_dir,
+                n_shards=32,
+                compress=True,
+            )
         t0 = time.monotonic()
         if name == "pipeline_full":
             _force(pl.run_pipeline(spark, sf_dir))
@@ -86,6 +104,19 @@ def _run_once(spark, sf_dir: str) -> dict[str, float]:
         elif name == "ivf_topk":
             emb = load_table(spark, sf_dir, "embeddings")
             _force(similarity.ivf_topk(emb, k=3, centroids=ivf_index))
+        elif name == "crawl_scan_extract":
+            from fineweb_modal_spark.operators import extract
+            from fineweb_modal_spark.sources import warc as warc_mod
+
+            _force(
+                extract.with_extracted_text(
+                    warc_mod.read_warc(spark, warc_dir)
+                )
+            )
+        elif name == "cdx_build":
+            from fineweb_modal_spark.sources import cdx as cdx_mod
+
+            _force(cdx_mod.build_cdx(spark, warc_dir))
         else:
             _force(qs[name](spark, sf_dir))
         times[name] = round(time.monotonic() - t0, 3)

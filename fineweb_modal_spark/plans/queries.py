@@ -5303,5 +5303,25 @@ def q_cdx_point_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _surt_oracle() -> str:
+    from ..sources import cdx as cdx_mod
+
+    return f"""
+WITH pages AS ({pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)})
+SELECT url, {cdx_mod.surt_sql('url', sd.DUCKDB)} AS surt FROM pages
+"""
+
+
+@register("cdx_surt_keys", _surt_oracle())
+def q_cdx_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT sort keys (reversed host labels — the CDX publication
+    order, making per-host and per-domain index slices contiguous)
+    rendered identically by both engines for every corpus url."""
+    from ..sources import cdx as cdx_mod
+
+    pages = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    return cdx_mod.with_surt(pages.select("url"))
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401

@@ -32,6 +32,7 @@ import os
 import zlib
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import warc as warc_mod
 
@@ -229,14 +230,35 @@ def fetch_records(index: DataFrame) -> DataFrame:
     return co.mapInPandas(fetch, schema=warc_mod.WARC_SCHEMA)
 
 
+def surt_sql(col: str, dialect: str) -> str:
+    """SURT key (Sort-friendly URI Reordering Transform) — the CDX
+    sort key: lowercase, host labels REVERSED comma-joined, then ')'
+    + path, so all pages of a host (and all hosts of a domain) are
+    lexicographically adjacent: `https://h3.example.com/p/42` →
+    `com,example,h3)/p/42`. Minimal spec (no port/userinfo handling —
+    the synthetic corpus has neither), rendered for both engines."""
+    host = f"regexp_extract(lower({col}), 'https?://([^/]+)', 1)"
+    path = f"regexp_replace(lower({col}), '^https?://[^/]+', '')"
+    if dialect == "spark":
+        rev = f"array_join(reverse(split({host}, '\\\\.')), ',')"
+    else:
+        rev = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    return f"{rev} || ')' || {path}"
+
+
+def with_surt(index: DataFrame, url_col: str = "url") -> DataFrame:
+    return index.withColumn("surt", F.expr(surt_sql(url_col, "spark")))
+
+
 def write_cdx(index: DataFrame, out_dir: str) -> None:
-    """Persist the index sorted by url — the CDX publication shape
-    (CC sorts by SURT key so lookups can binary-search the flat file;
-    parquet gets the same effect from min/max pruning on the sort)."""
-    index.repartitionByRange(
+    """Persist the index sorted by SURT key — the CDX publication
+    shape (CC sorts by SURT so lookups can binary-search the flat
+    file and per-domain slices are contiguous; parquet gets the same
+    effect from min/max pruning on the sort)."""
+    with_surt(index).repartitionByRange(
         max(1, index.sparkSession.sparkContext.defaultParallelism // 4),
-        "url",
-    ).sortWithinPartitions("url").write.mode("overwrite").parquet(out_dir)
+        "surt",
+    ).sortWithinPartitions("surt").write.mode("overwrite").parquet(out_dir)
 
 
 def read_cdx(spark: SparkSession, cdx_dir: str) -> DataFrame:

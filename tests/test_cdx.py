@@ -79,3 +79,26 @@ def test_index_covers_every_response(spark, tmp_path):
 def test_empty_dir_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         C.build_cdx(spark, str(tmp_path))
+
+
+def test_surt_key_shape_and_publish_order(spark, tmp_path):
+    """SURT reverses host labels (domain-adjacent sort) and write_cdx
+    publishes in SURT order within every file."""
+    from pyspark.sql import functions as F
+
+    row = spark.createDataFrame(
+        [("https://h3.example.com/p/42",)], "url string"
+    )
+    assert C.with_surt(row).first().surt == "com,example,h3)/p/42"
+
+    W.write_warc_shards(DOCS, str(tmp_path / "w"), n_shards=2, compress=True)
+    idx = C.build_cdx(spark, str(tmp_path / "w"))
+    out = str(tmp_path / "cdx")
+    C.write_cdx(idx, out)
+    back = spark.read.parquet(out).select("surt", F.input_file_name().alias("f"))
+    import pandas as pd  # noqa: F401
+
+    pdf = back.toPandas()
+    for _, grp in pdf.groupby("f"):
+        vals = list(grp["surt"])
+        assert vals == sorted(vals)
