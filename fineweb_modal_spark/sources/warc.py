@@ -407,6 +407,18 @@ def _export_shards(
     )
     ext = plain_ext + (".gz" if compress else "")
     tmps = sorted(r["tmp"] for r in commits)
+    # overwrite semantics: drop the previously published shard set
+    # BEFORE renaming the new one — a rerun with fewer partitions must
+    # not leave stale `-of-N` shards that readers would double-count
+    # (same discipline as the arrow_ipc writer's overwrite commit)
+    stale = list_warc_shards(
+        out_dir,
+        wet=plain_ext.startswith(".warc.wet"),
+        wat=plain_ext.startswith(".warc.wat"),
+    )
+    for old in stale:
+        if os.path.basename(old).startswith(prefix + "-"):
+            os.remove(old)
     out = []
     for i, tmp in enumerate(tmps):
         dst = os.path.join(

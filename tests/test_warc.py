@@ -189,6 +189,37 @@ def test_wat_roundtrip_preserves_link_structs(spark, tmp_path):
     assert list(back["https://h4.example.com/p/2"].links) == []
 
 
+def test_wet_rerun_with_fewer_partitions_leaves_no_stale_shards(
+    spark, tmp_path
+):
+    """Republishing into the same dir must replace the shard set —
+    a stale `-of-N` shard from a wider first run would double-count."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    def df(n_parts):
+        rows = [
+            Row(
+                url=f"https://h{i}.example.com/p/{i}",
+                warc_ts=datetime.datetime(2024, 1, 1, 0, 0, i),
+                text=f"doc {i}",
+            )
+            for i in range(8)
+        ]
+        return spark.createDataFrame(rows, W.WET_SCHEMA).repartition(n_parts)
+
+    out = str(tmp_path)
+    W.write_wet_shards(df(4), out)
+    assert len(W.list_warc_shards(out, wet=True)) == 4
+    W.write_wet_shards(df(2), out)
+    names = [os.path.basename(p) for p in W.list_warc_shards(out, wet=True)]
+    assert names == [
+        "wet-00000-of-00002.warc.wet.gz", "wet-00001-of-00002.warc.wet.gz"
+    ]
+    assert W.read_wet(spark, out).count() == 8
+
+
 def test_wat_listing_separate_from_warc(tmp_path):
     (tmp_path / "a-00000-of-00001.warc.gz").write_bytes(b"")
     (tmp_path / "wat-00000-of-00001.warc.wat.gz").write_bytes(b"")
