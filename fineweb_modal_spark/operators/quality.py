@@ -209,6 +209,165 @@ def keep_sql(
 
 
 # ---------------------------------------------------------------------------
+# Per-rule ablation waterfall (FineWeb-paper-style filter attribution)
+# ---------------------------------------------------------------------------
+
+
+def _rule_fail_exprs() -> list[tuple[str, Column]]:
+    """(rule_name, fail_bit) per battery rule, in spec DROP_REASONS
+    order, over the signal columns. The unconditional-stopword form
+    (keep_expr with lang_col=None), matching keep_sql's default."""
+    return [
+        ("too_few_words", F.col("n_words") < qr.MIN_WORDS),
+        ("too_many_words", F.col("n_words") > qr.MAX_WORDS),
+        (
+            "mean_word_len_out_of_range",
+            ~F.col("mean_word_len").between(
+                qr.MIN_MEAN_WORD_LEN, qr.MAX_MEAN_WORD_LEN
+            ),
+        ),
+        (
+            "low_stopword_ratio",
+            F.col("stopword_ratio") < qr.MIN_STOPWORD_RATIO,
+        ),
+        ("high_digit_ratio", F.col("digit_ratio") > qr.MAX_DIGIT_RATIO),
+        (
+            "low_distinct_ratio",
+            F.col("distinct_ratio") < qr.MIN_DISTINCT_RATIO,
+        ),
+    ]
+
+
+def _rule_fail_sql() -> list[tuple[str, str]]:
+    """DuckDB/ANSI rendering of the same fail bits (over signals_sql
+    columns, round_out=False so thresholds are never rounding-flipped)."""
+    return [
+        ("too_few_words", f"n_words < {qr.MIN_WORDS}"),
+        ("too_many_words", f"n_words > {qr.MAX_WORDS}"),
+        (
+            "mean_word_len_out_of_range",
+            f"(mean_word_len < {qr.MIN_MEAN_WORD_LEN}"
+            f" OR mean_word_len > {qr.MAX_MEAN_WORD_LEN})",
+        ),
+        (
+            "low_stopword_ratio",
+            f"stopword_ratio < {qr.MIN_STOPWORD_RATIO}",
+        ),
+        ("high_digit_ratio", f"digit_ratio > {qr.MAX_DIGIT_RATIO}"),
+        (
+            "low_distinct_ratio",
+            f"distinct_ratio < {qr.MIN_DISTINCT_RATIO}",
+        ),
+    ]
+
+
+def rule_ablation(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-rule filter-ablation waterfall, the FineWeb-paper-style
+    attribution table: for each battery rule in spec order,
+
+      * solo_drops            — docs the rule drops in isolation
+      * marginal_drops        — docs whose FIRST failing rule it is
+                                (battery-order attribution)
+      * cumulative_survivors  — docs passing every rule up to and
+                                including this one
+      * survivor_rate         — cumulative_survivors / n_total
+
+    Execution shape: one battery pass computes all fail bits per row,
+    a single aggregate reduces 19 integer sums map-side (1 row total
+    crosses the shuffle), then stack() unpivots the one row into six —
+    at 10^12 docs this costs exactly one scan and a 19-column
+    single-row reduce, the same as any global rollup."""
+    rules = _rule_fail_exprs()
+    sig = with_signals(df, text_col=text_col)
+    aggs = [F.count("*").alias("n_total")]
+    first_free = F.lit(True)  # no earlier rule has fired
+    cum_pass = F.lit(True)
+    for i, (_name, fail) in enumerate(rules):
+        aggs.append(F.sum(fail.cast("long")).alias(f"solo_{i}"))
+        aggs.append(
+            F.sum((first_free & fail).cast("long")).alias(f"marg_{i}")
+        )
+        first_free = first_free & ~fail
+        cum_pass = cum_pass & ~fail
+        aggs.append(F.sum(cum_pass.cast("long")).alias(f"cum_{i}"))
+    one = sig.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), '{name}', solo_{i}, marg_{i}, cum_{i}"
+        for i, (name, _f) in enumerate(rules)
+    )
+    return (
+        one.selectExpr(
+            "n_total",
+            f"stack({len(rules)}, {stack_args}) AS "
+            "(stage, rule, solo_drops, marginal_drops, cumulative_survivors)",
+        )
+        .select(
+            "stage",
+            "rule",
+            "solo_drops",
+            "marginal_drops",
+            "cumulative_survivors",
+            "n_total",
+            F.round(
+                F.col("cumulative_survivors").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("survivor_rate"),
+        )
+        .orderBy("stage")
+    )
+
+
+def rule_ablation_sql(
+    d: str, table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB oracle of rule_ablation: same bits, same 19 sums, the
+    unpivot written as a 6-row UNION ALL over the one aggregate row."""
+    rules = _rule_fail_sql()
+    sig = signals_sql(d, table=table, text_col=text_col, round_out=False)
+    bit_cols = ", ".join(
+        f"({cond}) AS f{i}" for i, (_n, cond) in enumerate(rules)
+    )
+    sums = ["CAST(count(*) AS BIGINT) AS n_total"]
+    earlier: list[str] = []
+    cum: list[str] = []
+    for i in range(len(rules)):
+        fi = f"f{i}"
+        first = (
+            fi
+            if not earlier
+            else f"({fi} AND NOT ({' OR '.join(earlier)}))"
+        )
+        cum.append(f"NOT f{i}" if not cum else f"{cum[-1]} AND NOT f{i}")
+        sums.append(
+            f"CAST(sum(CASE WHEN {fi} THEN 1 ELSE 0 END) AS BIGINT) AS solo_{i}"
+        )
+        sums.append(
+            f"CAST(sum(CASE WHEN {first} THEN 1 ELSE 0 END) AS BIGINT) AS marg_{i}"
+        )
+        sums.append(
+            f"CAST(sum(CASE WHEN {cum[-1]} THEN 1 ELSE 0 END) AS BIGINT) AS cum_{i}"
+        )
+        earlier.append(fi)
+    row_selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS stage, '{name}' AS rule, "
+        f"solo_{i} AS solo_drops, marg_{i} AS marginal_drops, "
+        f"cum_{i} AS cumulative_survivors, n_total, "
+        f"round(CAST(cum_{i} AS DOUBLE) / CAST(n_total AS DOUBLE), 6) "
+        f"AS survivor_rate FROM agg"
+        for i, (name, _c) in enumerate(rules)
+    )
+    return f"""
+WITH sig AS ({sig}),
+bits AS (SELECT {bit_cols} FROM sig),
+agg AS (SELECT {', '.join(sums)} FROM bits)
+SELECT * FROM (
+{row_selects}
+) ORDER BY stage
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # Model-based classifier stage (spec/quality_rules.py CLF_*)
 # ---------------------------------------------------------------------------
 

@@ -4244,6 +4244,20 @@ def q_keepdrop_f1_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.f1_report(docs).unionByName(clftrain_op.f1_vs_judge(docs))
 
 
+@register("filter_ablation_waterfall", quality.rule_ablation_sql(D))
+def q_filter_ablation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-paper-style filter-ablation table: per battery rule (in
+    spec DROP_REASONS order) the solo drop count, the first-fail
+    marginal attribution, cumulative survivors, and survivor rate.
+    One corpus scan, 19 integer sums reduced map-side to a single row,
+    stack()-unpivoted to six — the cheapest possible shape for a rule
+    audit at 10^12 docs (cf. the ablation tables driving threshold
+    choices in the FineWeb pipeline the reference feeds on,
+    /root/reference/filter.py:50)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality.rule_ablation(docs)
+
+
 @register("clf_holdout_eval", clftrain_op.holdout_f1_oracle_sql(D))
 def q_clf_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generalization check for the in-engine-trained classifier:

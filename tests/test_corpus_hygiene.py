@@ -3,6 +3,8 @@ deterministic train/val/test sharding."""
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 
 from fineweb_modal_spark.operators import decontam, split
@@ -142,3 +144,28 @@ def test_simhash_pairs_bucketing_no_false_negatives(spark):
         if a < b and bin(sim[a] ^ sim[b]).count("1") <= 3
     }
     assert got == want and len(want) > 0
+
+
+def test_rule_ablation_waterfall_invariants(spark):
+    """The ablation table's three identities: marginal drops telescope
+    the cumulative-survivor column, the final survivor count equals
+    the battery's keep count, and solo >= marginal per rule (a doc
+    attributed to rule i certainly fails rule i solo)."""
+    from fineweb_modal_spark.operators import quality
+    from fineweb_modal_spark.spec import quality_rules as qr
+
+    docs = load_table(spark, SF, "documents")
+    rows = quality.rule_ablation(docs).collect()
+    assert [r.rule for r in rows] == qr.DROP_REASONS
+    n_total = rows[0].n_total
+    prev = n_total
+    for r in rows:
+        assert r.cumulative_survivors == prev - r.marginal_drops
+        assert r.solo_drops >= r.marginal_drops
+        prev = r.cumulative_survivors
+    kept = quality.with_keep(quality.with_signals(docs)).where("keep").count()
+    assert rows[-1].cumulative_survivors == kept
+    # the plan is a single-row global aggregate: no per-rule rescan
+    # (formatted explain names each node twice: tree + detail header)
+    plan = _plan(quality.rule_ablation(docs))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
