@@ -49,6 +49,11 @@ score-clf    and persist weights + z-score stats; apply the stored
 curate       the full admission battery (quality ∧ edu ∧ exact-dedup ∧
              benchmark-holdout/decontam) over an sf-layout dir;
              admitted docs scrubbed and written, funnel on stdout.
+ablate       per-rule filter-ablation waterfall (solo / first-fail
+             marginal / cumulative survivors per battery rule) over an
+             sf-layout dir — the threshold-audit table, written to
+             --output and summarized on stdout. One scan, one
+             single-row aggregate at any corpus size.
 
 Prints one JSON metrics line to stdout (docs, keep rate, wall
 seconds) — the cluster-side analog of bench.py's contract.
@@ -73,7 +78,7 @@ def main(argv: list[str] | None = None) -> int:
             "batch", "resume", "incremental", "stream-commit",
             "hygiene", "crawl",
             "train-lm", "score-lm", "train-clf", "score-clf",
-            "curate",
+            "curate", "ablate",
         ],
     )
     ap.add_argument(
@@ -257,6 +262,31 @@ def main(argv: list[str] | None = None) -> int:
             "n_total": funnel["n_total"],
             "admitted": funnel["admitted"],
             "rows_written": back.count(),
+        }
+    elif args.mode == "ablate":
+        # threshold audit: which battery rule costs how many docs —
+        # the table that drives per-rule threshold tuning before a
+        # full-corpus run is committed.
+        from fineweb_modal_spark.operators import quality as quality_mod
+
+        docs = spark.read.parquet(
+            f"{args.input.rstrip('/')}/documents.parquet"
+        )
+        table = quality_mod.rule_ablation(docs)
+        table.write.mode("overwrite").parquet(args.output)
+        rows = spark.read.parquet(args.output).orderBy("stage").collect()
+        out = {
+            "mode": "ablate",
+            "n_total": int(rows[0].n_total),
+            "final_survivors": int(rows[-1].cumulative_survivors),
+            "waterfall": {
+                str(r.rule): {
+                    "solo": int(r.solo_drops),
+                    "marginal": int(r.marginal_drops),
+                    "survivor_rate": float(r.survivor_rate),
+                }
+                for r in rows
+            },
         }
     elif args.mode == "train-clf":
         # distill the heuristic judge into the logistic classifier on a

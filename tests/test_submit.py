@@ -244,6 +244,24 @@ def test_job_curate_mode(spark, tmp_path):
     assert "scrubbed_text" in back.columns and "text" not in back.columns
 
 
+def test_job_ablate_mode(spark, tmp_path):
+    """--mode ablate writes the six-row waterfall and its final
+    survivor count must equal the battery's keep count on the same
+    corpus — the job surface and the gate agree."""
+    import jobs.run_pipeline as job
+    from fineweb_modal_spark.operators import quality
+    from fineweb_modal_spark.sources.tables import load_table
+
+    out_dir = str(tmp_path / "ablation")
+    rc = job.main(["--input", SF, "--output", out_dir, "--mode", "ablate"])
+    assert rc == 0
+    back = spark.read.parquet(out_dir).orderBy("stage").collect()
+    assert len(back) == 6
+    docs = load_table(spark, SF, "documents")
+    kept = quality.with_keep(quality.with_signals(docs)).where("keep").count()
+    assert back[-1].cumulative_survivors == kept
+
+
 def test_job_stream_commit_mode(spark, tmp_path):
     """--mode stream-commit publishes a pages stream through the
     committed ds=... layout; a second invocation (nothing new) appends
