@@ -1,0 +1,244 @@
+"""Corpus reweighting: DSIR importance weights + DoReMi domain mixture.
+
+Two published data-selection techniques the reference pipeline's
+users reach for right after filtering, both expressed as pure
+relational plans:
+
+* **DSIR** (Xie et al., "Data Selection for Language Models via
+  Importance Resampling", arXiv:2302.03169): per-document importance
+  log-weight = sum over token instances of
+  ``log p_target(bucket) - log p_raw(bucket)`` over HASHED unigram
+  buckets with add-1 smoothing. The bucket log-ratio table is at most
+  ``DSIR_BUCKETS`` rows — broadcast — so the corpus pays one explode
+  + one map-side-combined count and one per-document aggregate, never
+  an all-pairs or model pass.
+
+* **DoReMi** (Xie et al., arXiv:2305.10429) with static excess loss:
+  with reference losses fixed (here: the deterministic quality
+  classifier's softplus loss), the exponentiated-gradient iteration
+  collapses to its closed form — domain weights proportional to
+  ``exp(eta * excess_loss)`` — so the whole operator is one
+  per-source aggregate over K ≈ #sources rows.
+
+Exactness discipline (gate conventions): every per-row float is
+quantized to integer micro-units BEFORE any cross-row sum, so the
+aggregates are order-free integer math and the only doubles are
+per-bucket/per-source scalars computed from identical integer inputs
+on both engines.
+
+Reference analog: fineweb-modal has no reweighting stage — this is
+part of the training-data-toolbox extension (like dedup/decontam),
+shaped by the same north rule as its filter stage (filter.py:50).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import sqldialect as sd
+from ..spec import hashing as H
+from ..spec import quality_rules as qr
+from . import quality
+
+# DSIR configuration: hashed-unigram feature space + in-domain proxy.
+DSIR_BUCKETS = 256
+DSIR_TARGET_SOURCE = "src0"  # fixture's in-domain proxy subset
+
+# DoReMi configuration: EG step size (static-loss closed form).
+DOREMI_ETA = 4.0
+
+
+def _lrq_expr(d: str) -> str:
+    """Per-bucket smoothed log-likelihood ratio, quantized to integer
+    micro-units. One string, parsed by both engines, over columns
+    (ct, cr, nt, nr)."""
+    b = DSIR_BUCKETS
+    return (
+        f"CAST(round((ln(ct + 1) - ln(nt + {b}) - ln(cr + 1) + ln(nr + {b}))"
+        f" * 1000000) AS BIGINT)"
+    )
+
+
+def _bucket_expr(d: str) -> str:
+    h = H.md5_i64("'dsir:' || tok", d)
+    return f"({h}) % {DSIR_BUCKETS}"
+
+
+def with_dsir_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok_count, lw_micro): DSIR hashed-unigram importance
+    log-weight per document, in integer micro-nats.
+
+    Plan shape: explode → ONE conditional groupBy(bucket) computes
+    raw AND target counts in a single pass (≤ DSIR_BUCKETS result
+    rows); the ratio relation broadcasts back onto the token stream;
+    the only corpus-sized shuffles are the bucket count (256-key,
+    map-side combined) and the per-doc sum. The two global windows
+    run over the ≤256-row counts relation — bounded at any corpus
+    size."""
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(sd.ws_tokens("lower(text)", sd.SPARK))).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr(_bucket_expr(sd.SPARK)).alias("b"),
+        )
+    )
+    counts = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(
+            F.when(F.col("source") == DSIR_TARGET_SOURCE, 1).otherwise(0)
+        ).alias("ct"),
+    )
+    # Token totals as a broadcast 1-row relation (not a global window:
+    # no single-partition WindowExec even on the tiny counts side).
+    totals = counts.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    ratio = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("lrq", F.expr(_lrq_expr(sd.SPARK)))
+        .select("b", "lrq")
+    )
+    per_doc = (
+        toks.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tok_count"),
+            F.sum("lrq").alias("lw_micro"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("tok_count", F.lit(0)).cast("bigint").alias("tok_count"),
+            F.coalesce("lw_micro", F.lit(0)).cast("bigint").alias("lw_micro"),
+        )
+    )
+
+
+def dsir_weights_sql(d: str, table: str = "documents") -> str:
+    """The identical computation in portable SQL (DuckDB oracle)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, {_bucket_expr(d)} AS b
+  FROM (SELECT doc_id, source,
+               unnest({sd.ws_tokens('lower(text)', d)}) AS tok
+        FROM {table} WHERE text IS NOT NULL) t
+),
+counts AS (
+  SELECT b, COUNT(*) AS cr,
+         SUM(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END) AS ct
+  FROM tok GROUP BY b
+),
+ratio AS (
+  SELECT b, {_lrq_expr(d)} AS lrq
+  FROM (SELECT b, cr, ct,
+               SUM(cr) OVER () AS nr, SUM(ct) OVER () AS nt
+        FROM counts) c
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS tok_count, SUM(lrq) AS lw_micro
+  FROM tok JOIN ratio USING (b) GROUP BY doc_id
+)
+SELECT dd.doc_id,
+       CAST(COALESCE(p.tok_count, 0) AS BIGINT) AS tok_count,
+       CAST(COALESCE(p.lw_micro, 0) AS BIGINT) AS lw_micro
+FROM {table} dd LEFT JOIN per_doc p USING (doc_id)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# DoReMi domain reweighting (static-excess-loss closed form)
+# ---------------------------------------------------------------------------
+
+# Softplus loss of the deterministic quality classifier, quantized to
+# integer micro-nats per document BEFORE the per-source sum.
+_LOSS_MICRO_EXPR = "CAST(round(ln(1 + exp(-(clf_logit))) * 1000000) AS BIGINT)"
+
+
+def domain_reweight(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, sum_loss_micro, excess_loss, mix_weight):
+    DoReMi-style domain mixture weights ∝ exp(eta * excess loss),
+    excess measured against the best (lowest-loss) domain.
+
+    Plan shape: one signals pass + ONE groupBy(source) partial agg;
+    everything after runs on the K-row domain relation (windows over
+    ≤K rows). The exp weights are themselves micro-quantized before
+    normalization so the weight ratio is exact integer division."""
+    clf = quality.with_classifier(docs)
+    lm = clf.withColumn("loss_micro", F.expr(_LOSS_MICRO_EXPR))
+    per = lm.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("loss_micro").alias("sum_loss_micro"),
+    )
+    ext = per.withColumn(
+        "mean_loss",
+        F.col("sum_loss_micro").cast("double")
+        / F.col("n_docs")
+        / F.lit(1000000.0),
+    )
+    # Domain-relation scalars via broadcast 1-row aggs (K rows total;
+    # avoids single-partition WindowExec warnings in composed plans).
+    base = ext.agg(F.min("mean_loss").alias("base_loss"))
+    wq = ext.crossJoin(F.broadcast(base)).withColumn(
+        "excess", F.col("mean_loss") - F.col("base_loss")
+    ).withColumn(
+        "wq",
+        F.round(F.exp(F.lit(DOREMI_ETA) * F.col("excess")) * 1000000.0)
+        .cast("bigint"),
+    )
+    z = wq.agg(F.sum("wq").alias("z"))
+    return wq.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.col("sum_loss_micro").cast("bigint").alias("sum_loss_micro"),
+        F.round("excess", 6).alias("excess_loss"),
+        F.round(
+            F.col("wq").cast("double") / F.col("z").cast("double"), 6
+        ).alias("mix_weight"),
+    )
+
+
+def domain_reweight_sql(d: str, table: str = "documents") -> str:
+    sig = quality.signals_sql(
+        d, table=table, key_cols="doc_id, source", round_out=False
+    )
+    logit = qr.clf_logit_sql()
+    return f"""
+WITH sig AS ({sig}),
+lm AS (
+  SELECT source,
+         CAST(round(ln(1 + exp(-({logit}))) * 1000000) AS BIGINT) AS loss_micro
+  FROM sig
+),
+per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(loss_micro) AS BIGINT) AS sum_loss_micro
+  FROM lm GROUP BY source
+),
+ext AS (
+  SELECT source, n_docs, sum_loss_micro,
+         CAST(sum_loss_micro AS DOUBLE) / n_docs / 1000000.0 AS mean_loss
+  FROM per
+),
+wq AS (
+  SELECT source, n_docs, sum_loss_micro,
+         mean_loss - MIN(mean_loss) OVER () AS excess,
+         CAST(round(exp({DOREMI_ETA} * (mean_loss - MIN(mean_loss) OVER ()))
+              * 1000000.0) AS BIGINT) AS wq
+  FROM ext
+)
+SELECT source, n_docs, sum_loss_micro,
+       round(excess, 6) AS excess_loss,
+       round(CAST(wq AS DOUBLE) / CAST(SUM(wq) OVER () AS DOUBLE), 6)
+         AS mix_weight
+FROM wq
+""".strip()

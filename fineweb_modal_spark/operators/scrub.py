@@ -9,6 +9,7 @@ there is no scrub in fineweb-modal — this is the north-rule extension
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -131,3 +132,41 @@ def with_collapsed_lines(
         out_col,
         F.expr(collapse_lines_sql(text_col, sd.SPARK)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization (canonical composition)
+# ---------------------------------------------------------------------------
+#
+# CCNet/C4-style corpora normalize unicode before hashing or dedup so
+# that canonically-equivalent byte sequences ("e" + COMBINING ACUTE vs
+# precomposed U+00E9) can't defeat exact-hash stages. Spark has no
+# built-in NFC function, so this is one of the few legitimate
+# Python-side stages — a VECTORIZED Arrow-batched pandas UDF
+# (north-rule compliant: no per-row Python UDF), stdlib unicodedata
+# only. The DuckDB oracle uses its independent utf8proc-backed
+# nfc_normalize(), so the gate cross-checks two unrelated NFC
+# implementations byte-for-byte.
+
+# Deterministic non-ASCII probe appended by the gate so normalization
+# provably DOES something on the all-ASCII fixture text: a decomposed
+# e+COMBINING ACUTE (composes under NFC, char count −1) plus U+2460
+# and U+FB01 (compatibility-only forms — NFC must LEAVE them alone,
+# distinguishing NFC from NFKC).
+NFC_PROBE = " nfc:cafe\u0301 \u2460\ufb01"
+
+
+def with_nfc(
+    df: DataFrame, text_col: str = "text", out_col: str = "nfc_text"
+) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    return df.withColumn(out_col, _nfc(F.col(text_col)))

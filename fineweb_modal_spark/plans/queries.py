@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import sqldialect as sd
-from ..operators import quality, scrub, topk
+from ..operators import quality, reweight, scrub, topk
 from ..sources import pages as pages_mod
 from ..sources.tables import load_table
 from ..spec import quality_rules as qr
@@ -5335,6 +5335,75 @@ def q_cdx_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = pages_mod.load_pages(spark, sf_dir, with_html=False)
     return cdx_mod.with_surt(pages.select("url"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus reweighting (DSIR, DoReMi) + unicode normalization scrub
+# ---------------------------------------------------------------------------
+
+
+@register("dsir_importance_weights", reweight.dsir_weights_sql(D))
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (arXiv:2302.03169) hashed-unigram importance log-weights
+    vs the in-domain proxy subset, in exact integer micro-nats: the
+    bucket log-ratio table (≤256 rows) broadcasts onto the token
+    stream; per-row floats are micro-quantized BEFORE every cross-row
+    sum so both engines aggregate order-free integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    return reweight.with_dsir_weights(docs)
+
+
+@register("domain_reweight_doremi", reweight.domain_reweight_sql(D))
+def q_domain_reweight_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi (arXiv:2305.10429) domain mixture weights in their
+    static-excess-loss closed form — softmax over per-source excess
+    softplus loss of the deterministic quality classifier. One
+    signals pass + one groupBy(source); all post-agg math runs on the
+    K-row domain relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return reweight.domain_reweight(docs)
+
+
+_NFC_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id, coalesce(text, '') || '{scrub.NFC_PROBE}' AS raw_text
+  FROM documents
+),
+n AS (
+  SELECT doc_id, raw_text, nfc_normalize(raw_text) AS nfc_text FROM raw
+)
+SELECT doc_id, md5(nfc_text) AS nfc_md5,
+       CAST(length(raw_text) - length(nfc_text) AS BIGINT) AS composed_delta,
+       nfc_text <> raw_text AS changed
+FROM n
+""".strip()
+
+
+@register("unicode_nfc_scrub", _NFC_ORACLE)
+def q_unicode_nfc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonical composition as a scrub stage (the CCNet
+    normalize-before-hash step), byte-exact md5-gated across two
+    UNRELATED NFC implementations: a vectorized Arrow pandas UDF over
+    Python's unicodedata vs DuckDB's utf8proc nfc_normalize. A
+    decomposed-e+COMBINING-ACUTE probe (plus NFKC-only forms that
+    must survive) is appended so the all-ASCII fixture provably
+    exercises composition."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(scrub.NFC_PROBE)
+        ).alias("raw_text"),
+    )
+    out = scrub.with_nfc(raw, "raw_text", "nfc_text")
+    return out.select(
+        "doc_id",
+        F.md5("nfc_text").alias("nfc_md5"),
+        (F.length("raw_text") - F.length("nfc_text"))
+        .cast("bigint")
+        .alias("composed_delta"),
+        (F.col("nfc_text") != F.col("raw_text")).alias("changed"),
+    )
 
 
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
