@@ -5406,5 +5406,58 @@ def q_unicode_nfc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_recall_oracle() -> str:
+    from ..operators import dedup as dedup_mod
+
+    truth = dedup_mod.ngram_jaccard_oracle_sql(D)
+    cand = dedup_mod.lsh_pairs_oracle_sql(D)
+    return f"""
+WITH truth AS (SELECT doc_a, doc_b FROM ({truth}) t),
+cand AS (SELECT doc_a, doc_b FROM ({cand}) c),
+hit AS (SELECT doc_a, doc_b FROM truth INTERSECT SELECT doc_a, doc_b FROM cand)
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       round(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth), 6) AS recall,
+       round(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / (SELECT COUNT(*) FROM cand), 6) AS candidate_precision
+""".strip()
+
+
+@register("lsh_recall_report", _lsh_recall_oracle())
+def q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-quality evaluation: recall of the MinHash-LSH candidate
+    generator against the EXACT Jaccard≥4/5 ground truth (derived by
+    the prefix-filter join, which is provably complete), plus
+    candidate precision. The report a dedup operator reads before
+    trusting banded LSH at 100 TB — both sides are bucketed plans, so
+    the evaluation itself never goes all-pairs; counts are integers
+    and the two ratios divide integers once."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    corpus = spark.sql(dedup.corpus_with_near_dups_sql(sd.SPARK))
+    truth = dedup.ngram_jaccard_pairs(corpus).select("doc_a", "doc_b")
+    cand = dedup.lsh_pairs(corpus).select("doc_a", "doc_b")
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_truth"), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_candidates"), 6
+            ).alias("candidate_precision"),
+        )
+    )
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401
