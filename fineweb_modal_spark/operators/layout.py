@@ -67,3 +67,72 @@ def zorder_layout(
     of the key space). Pair with a partitioned/bucketed sink."""
     z = with_zvalue(df, x_col, y_col)
     return z.repartitionByRange(n_files, "zval").sortWithinPartitions("zval")
+
+
+# ---------------------------------------------------------------------------
+# Host-skew write planning
+# ---------------------------------------------------------------------------
+#
+# The north rule demands "explicit salting/repartition for host-level
+# skew" on the write path. The salted writer exists (sinks.py salt
+# contract; salted_skew_join proves result invariance) — this is the
+# PLANNING half: derive, from the corpus itself, WHICH hosts need a
+# salt and how large, so the write job can size sub-partitions before
+# it shuffles. All integer math (floor-div shares, ceil-div salt), so
+# both engines agree bit-for-bit and no float boundary flips a salt
+# factor.
+
+SKEW_TARGET_PARTITIONS = 64  # ideal write-task count the salt aims at
+
+
+def host_skew_report(
+    pages: DataFrame, target: int = SKEW_TARGET_PARTITIONS
+) -> DataFrame:
+    """(host, n_pages, share_ppm, salt_factor, is_hot) per host.
+
+    salt_factor = ceil(n_pages * target / total): the number of
+    sub-partitions that keep every write task near total/target rows.
+    One groupBy(host) partial agg; the total joins back as a
+    broadcast 1-row relation — host cardinality is web-scale-bounded
+    (millions), the corpus never reshuffles."""
+    from . import blocklist
+
+    counts = (
+        blocklist.with_host(pages)
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    tot = counts.agg(F.sum("n_pages").alias("total"))
+    j = counts.crossJoin(F.broadcast(tot))
+    salt = F.expr(f"CAST((n_pages * {target} + total - 1) DIV total AS BIGINT)")
+    return j.select(
+        "host",
+        "n_pages",
+        F.expr("CAST((n_pages * 1000000) DIV total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        salt.alias("salt_factor"),
+        (salt > 1).alias("is_hot"),
+    )
+
+
+def host_skew_report_sql(
+    d: str, pages_select: str, target: int = SKEW_TARGET_PARTITIONS
+) -> str:
+    from . import blocklist
+
+    div = "DIV" if d == sd.SPARK else "//"
+    host = blocklist.host_sql("url", d)
+    return f"""
+WITH pages AS ({pages_select}),
+counts AS (
+  SELECT {host} AS host, COUNT(*) AS n_pages FROM pages GROUP BY 1
+),
+tot AS (SELECT SUM(n_pages) AS total FROM counts)
+SELECT host, CAST(n_pages AS BIGINT) AS n_pages,
+       CAST((n_pages * 1000000) {div} total AS BIGINT) AS share_ppm,
+       CAST((n_pages * {target} + total - 1) {div} total AS BIGINT)
+         AS salt_factor,
+       ((n_pages * {target} + total - 1) {div} total) > 1 AS is_hot
+FROM counts, tot
+""".strip()

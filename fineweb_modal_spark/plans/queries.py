@@ -5459,5 +5459,26 @@ def q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _host_skew_oracle() -> str:
+    from ..operators import layout as layout_mod
+
+    return layout_mod.host_skew_report_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    )
+
+
+@register("host_skew_report", _host_skew_oracle())
+def q_host_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path skew planning: per-host page share and the ceil-div
+    salt factor that keeps every write task near total/64 rows (the
+    fixture's hot host h0 carries ~1/3 of pages and must flag
+    is_hot with a >1 salt). Pure integer math on a host-granular
+    relation — the corpus aggregates once and never reshuffles."""
+    from ..operators import layout as layout_mod
+
+    pages = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    return layout_mod.host_skew_report(pages)
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401
