@@ -54,6 +54,7 @@ HEADLINE = [
     "clf_train_gd",  # 10 full-batch GD steps (11 passes, driver-side weights)
     "edu_centroid_scores",  # semantic admission: centroid train + literal-fold scoring
     "full_curation_report",  # every admission family joined into one decision/doc
+    "dsir_importance_weights",  # DSIR: token explode + 256-bucket broadcast ratio
     "tpch_q1_pricing_summary",  # scan-heavy partial agg over lineitem
     "tpch_q9_product_profit",  # 6-way join: 1 fact shuffle + broadcast dims
     "tpch_q18_large_volume_customer",  # agg-filtered semi join + top-100
