@@ -73,3 +73,119 @@ def test_nfc_probe_composes_and_nfkc_forms_survive(spark):
     }
     assert out[1] == "plain ascii" + composed
     assert out[2] is None
+
+
+# ---------------------------------------------------------------------------
+# Property-based differentials (no Spark): the DuckDB rendering of
+# each new operator vs an independent pure-Python mirror / stdlib.
+# ---------------------------------------------------------------------------
+
+import hashlib
+import math
+import re
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fineweb_modal_spark.functions import sqldialect as sd
+
+_ascii_text = st.text(
+    alphabet=st.sampled_from(list("abcdefgh XY12\t\n")), max_size=60
+)
+
+
+def _dsir_py(corpus):
+    """Pure-Python mirror of the DSIR formula (hashlib, not SQL)."""
+    B = reweight.DSIR_BUCKETS
+
+    def bucket(t):
+        h = hashlib.md5(("dsir:" + t).encode()).hexdigest()[:15]
+        return int(h, 16) % B
+
+    def toks(text):
+        return re.split(r"\s+", text.lower().strip(" \t\n\x0b\f\r"))
+
+    cr, ct = {}, {}
+    for doc_id, text, source in corpus:
+        if text is None:
+            continue
+        for t in toks(text):
+            b = bucket(t)
+            cr[b] = cr.get(b, 0) + 1
+            if source == reweight.DSIR_TARGET_SOURCE:
+                ct[b] = ct.get(b, 0) + 1
+    nr, nt = sum(cr.values()), sum(ct.values())
+
+    def half_away(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    lrq = {
+        b: half_away(
+            (
+                math.log(ct.get(b, 0) + 1)
+                - math.log(nt + B)
+                - math.log(cr[b] + 1)
+                + math.log(nr + B)
+            )
+            * 1000000
+        )
+        for b in cr
+    }
+    out = {}
+    for doc_id, text, source in corpus:
+        if text is None:
+            out[doc_id] = (0, 0)
+            continue
+        ts = toks(text)
+        out[doc_id] = (len(ts), sum(lrq[bucket(t)] for t in ts))
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(_ascii_text, st.sampled_from(["src0", "src1"])),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_dsir_sql_matches_python_mirror(rows):
+    corpus = [(i, t, s) for i, (t, s) in enumerate(rows)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({i}, '" + t.replace("'", "''") + f"', '{s}')"
+            for i, t, s in corpus
+        )
+        + ") t(doc_id, text, source)"
+    )
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(reweight.dsir_weights_sql(sd.DUCKDB)).fetchall()
+    }
+    assert got == _dsir_py(corpus)
+
+
+# Combining marks + Hangul jamo: the normalization-heavy repertoire.
+# Unicode normalization is frozen by the consortium's stability
+# policy, so Python's unicodedata and DuckDB's utf8proc MUST agree on
+# every assigned codepoint — any divergence is a real bug.
+_nfc_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        categories=("L", "N", "P", "Zs", "Mn"),
+        include_characters=" é́①ﬁ각",
+    ),
+    max_size=80,
+).filter(lambda s: "'" not in s and "\x00" not in s)
+
+
+@given(st.lists(_nfc_text, min_size=1, max_size=10))
+@settings(max_examples=60, deadline=None)
+def test_nfc_python_matches_duckdb_utf8proc(texts):
+    con = duckdb.connect()
+    for t in texts:
+        got = con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
+        assert got == unicodedata.normalize("NFC", t), repr(t)
