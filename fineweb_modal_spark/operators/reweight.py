@@ -65,6 +65,47 @@ def _bucket_expr(d: str) -> str:
     return f"({h}) % {DSIR_BUCKETS}"
 
 
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id[, source], b): one row per token instance."""
+    keep = [c for c in ("doc_id", "source") if c in docs.columns]
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            *keep,
+            F.explode(F.expr(sd.ws_tokens("lower(text)", sd.SPARK))).alias(
+                "tok"
+            ),
+        )
+        .select(*keep, F.expr(_bucket_expr(sd.SPARK)).alias("b"))
+    )
+
+
+def dsir_ratio_from_tokens(toks: DataFrame) -> DataFrame:
+    """(b, lrq, nr, nt): the bucket log-ratio INDEX — the trainable,
+    storable artifact of DSIR (≤ DSIR_BUCKETS rows; nr/nt carried on
+    every row so a stored copy is self-describing)."""
+    counts = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(
+            F.when(F.col("source") == DSIR_TARGET_SOURCE, 1).otherwise(0)
+        ).alias("ct"),
+    )
+    # Token totals as a broadcast 1-row relation (not a global window:
+    # no single-partition WindowExec even on the tiny counts side).
+    totals = counts.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("lrq", F.expr(_lrq_expr(sd.SPARK)))
+        .select("b", "lrq", "nr", "nt")
+    )
+
+
+def train_dsir_ratio(docs: DataFrame) -> DataFrame:
+    """Train the bucket log-ratio index from a corpus with
+    (doc_id, text, source) — one explode + one 256-key partial agg."""
+    return dsir_ratio_from_tokens(_doc_tokens(docs))
+
+
 def with_dsir_weights(docs: DataFrame) -> DataFrame:
     """(doc_id, tok_count, lw_micro): DSIR hashed-unigram importance
     log-weight per document, in integer micro-nats.
@@ -76,35 +117,8 @@ def with_dsir_weights(docs: DataFrame) -> DataFrame:
     map-side combined) and the per-doc sum. The two global windows
     run over the ≤256-row counts relation — bounded at any corpus
     size."""
-    toks = (
-        docs.where(F.col("text").isNotNull())
-        .select(
-            "doc_id",
-            "source",
-            F.explode(F.expr(sd.ws_tokens("lower(text)", sd.SPARK))).alias("tok"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            F.expr(_bucket_expr(sd.SPARK)).alias("b"),
-        )
-    )
-    counts = toks.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.sum(
-            F.when(F.col("source") == DSIR_TARGET_SOURCE, 1).otherwise(0)
-        ).alias("ct"),
-    )
-    # Token totals as a broadcast 1-row relation (not a global window:
-    # no single-partition WindowExec even on the tiny counts side).
-    totals = counts.agg(
-        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
-    )
-    ratio = (
-        counts.crossJoin(F.broadcast(totals))
-        .withColumn("lrq", F.expr(_lrq_expr(sd.SPARK)))
-        .select("b", "lrq")
-    )
+    toks = _doc_tokens(docs)
+    ratio = dsir_ratio_from_tokens(toks).select("b", "lrq")
     per_doc = (
         toks.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
@@ -152,6 +166,111 @@ SELECT dd.doc_id,
        CAST(COALESCE(p.tok_count, 0) AS BIGINT) AS tok_count,
        CAST(COALESCE(p.lw_micro, 0) AS BIGINT) AS lw_micro
 FROM {table} dd LEFT JOIN per_doc p USING (doc_id)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# DSIR index lifecycle: train once, score any later batch
+# ---------------------------------------------------------------------------
+#
+# The steady-state 10^12-doc shape (same as the stored LSH / IVF
+# indexes): the ratio relation is trained ONCE on the reference
+# corpus and stored; each arriving crawl batch pays one explode + one
+# broadcast join against the ≤256-row index — the old corpus is never
+# re-read. Buckets the training corpus never saw score with the
+# closed-form unseen default ln((nr+B)/(nt+B)) derived from the
+# index's own totals, so delta scoring is exactly what a full retrain
+# would assign those tokens under add-1 smoothing with ct=cr=0.
+
+# lrq for a bucket with no training occurrences (ct = cr = 0).
+def _unseen_lrq_expr(prefix: str = "") -> str:
+    b = DSIR_BUCKETS
+    return (
+        f"CAST(round((ln({prefix}nr + {b}) - ln({prefix}nt + {b}))"
+        f" * 1000000) AS BIGINT)"
+    )
+
+
+def score_with_ratio(new_docs: DataFrame, ratio: DataFrame) -> DataFrame:
+    """(doc_id, tok_count, lw_micro) for a delta batch against a
+    stored/broadcast ratio index — zero passes over the old corpus."""
+    toks = _doc_tokens(new_docs.select("doc_id", "text"))
+    meta = ratio.agg(F.max("nr").alias("nr"), F.max("nt").alias("nt"))
+    scored = (
+        toks.join(F.broadcast(ratio.select("b", "lrq")), "b", "left")
+        .crossJoin(F.broadcast(meta))
+        .withColumn(
+            "lrq", F.coalesce("lrq", F.expr(_unseen_lrq_expr()))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tok_count"),
+            F.sum("lrq").alias("lw_micro"),
+        )
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("tok_count", F.lit(0)).cast("bigint").alias("tok_count"),
+            F.coalesce("lw_micro", F.lit(0)).cast("bigint").alias("lw_micro"),
+        )
+    )
+
+
+def save_ratio(ratio: DataFrame, path: str) -> None:
+    """Persist the trained index (≤ DSIR_BUCKETS rows, self-describing
+    via the nr/nt totals on every row)."""
+    ratio.write.mode("overwrite").parquet(path.rstrip("/"))
+
+
+def load_ratio(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path.rstrip("/"))
+
+
+def dsir_incremental_sql(d: str, table: str = "documents") -> str:
+    """Oracle for delta scoring: re-derives the stored-corpus index
+    AND the delta batch, scores unseen buckets with the same
+    closed-form default."""
+    from . import dedup
+
+    delta = dedup.new_crawl_batch_sql(d, table=table)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, {_bucket_expr(d)} AS b
+  FROM (SELECT doc_id, source,
+               unnest({sd.ws_tokens('lower(text)', d)}) AS tok
+        FROM {table} WHERE text IS NOT NULL) t
+),
+counts AS (
+  SELECT b, COUNT(*) AS cr,
+         SUM(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END) AS ct
+  FROM tok GROUP BY b
+),
+ratio AS (
+  SELECT b, {_lrq_expr(d)} AS lrq, nr, nt
+  FROM (SELECT b, cr, ct,
+               SUM(cr) OVER () AS nr, SUM(ct) OVER () AS nt
+        FROM counts) c
+),
+meta AS (SELECT MAX(nr) AS nr, MAX(nt) AS nt FROM ratio),
+delta AS ({delta}),
+dtok AS (
+  SELECT doc_id, {_bucket_expr(d)} AS b
+  FROM (SELECT doc_id, unnest({sd.ws_tokens('lower(text)', d)}) AS tok
+        FROM delta WHERE text IS NOT NULL) t
+),
+scored AS (
+  SELECT doc_id, COUNT(*) AS tok_count,
+         SUM(COALESCE(r.lrq, {_unseen_lrq_expr('meta.')})) AS lw_micro
+  FROM dtok t LEFT JOIN ratio r USING (b), meta
+  GROUP BY doc_id
+)
+SELECT dd.doc_id,
+       CAST(COALESCE(s.tok_count, 0) AS BIGINT) AS tok_count,
+       CAST(COALESCE(s.lw_micro, 0) AS BIGINT) AS lw_micro
+FROM delta dd LEFT JOIN scored s USING (doc_id)
 """.strip()
 
 

@@ -5480,5 +5480,20 @@ def q_host_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout_mod.host_skew_report(pages)
 
 
+@register("dsir_incremental_score", reweight.dsir_incremental_sql(D))
+def q_dsir_incremental_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR index lifecycle: the ratio relation trains once on the
+    stored corpus; the arriving crawl batch (the shared delta fixture
+    the incremental-LSH gate uses) scores via one broadcast join —
+    the old corpus is never re-read, and buckets the training corpus
+    never saw get the closed-form add-1 unseen default the full
+    retrain would assign."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    ratio = reweight.train_dsir_ratio(docs)
+    delta = spark.sql(dedup.new_crawl_batch_sql(sd.SPARK))
+    return reweight.score_with_ratio(delta, ratio)
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401

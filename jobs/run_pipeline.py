@@ -46,6 +46,10 @@ score-lm     parquet relations; apply a stored LM to any corpus.
 train-clf /  distill the heuristic judge into the logistic classifier
 score-clf    and persist weights + z-score stats; apply the stored
              model anywhere as one zero-shuffle codegen projection.
+train-dsir / fit the DSIR hashed-ngram bucket log-ratio index on a
+score-dsir   documents dir and persist it (≤256 rows); score any
+             later batch via one broadcast join — the training
+             corpus is never re-read.
 curate       the full admission battery (quality ∧ edu ∧ exact-dedup ∧
              benchmark-holdout/decontam) over an sf-layout dir;
              admitted docs scrubbed and written, funnel on stdout.
@@ -78,6 +82,7 @@ def main(argv: list[str] | None = None) -> int:
             "batch", "resume", "incremental", "stream-commit",
             "hygiene", "crawl",
             "train-lm", "score-lm", "train-clf", "score-clf",
+            "train-dsir", "score-dsir",
             "curate", "ablate",
         ],
     )
@@ -308,6 +313,37 @@ def main(argv: list[str] | None = None) -> int:
             "mode": "train-clf",
             "model_dir": mdir,
             "weights": [round(x, 6) for x in w],
+        }
+    elif args.mode == "train-dsir":
+        # fit the hashed-ngram bucket log-ratio index on a documents
+        # parquet dir (needs doc_id, text, source) and persist it —
+        # the artifact score-dsir applies to any later crawl batch.
+        from fineweb_modal_spark.operators import reweight
+
+        mdir = (args.model or args.output).rstrip("/")
+        docs = spark.read.parquet(args.input)
+        ratio = reweight.train_dsir_ratio(docs)
+        reweight.save_ratio(ratio, mdir)
+        back = reweight.load_ratio(spark, mdir)
+        out = {
+            "mode": "train-dsir",
+            "model_dir": mdir,
+            "buckets": back.count(),
+        }
+    elif args.mode == "score-dsir":
+        # score a delta batch against a stored DSIR index: one
+        # broadcast join, the training corpus is never re-read.
+        from fineweb_modal_spark.operators import reweight
+
+        ratio = reweight.load_ratio(spark, args.model.rstrip("/"))
+        docs = spark.read.parquet(args.input)
+        reweight.score_with_ratio(docs, ratio).write.mode(
+            "overwrite"
+        ).parquet(args.output)
+        back = spark.read.parquet(args.output)
+        out = {
+            "mode": "score-dsir",
+            "rows": back.count(),
         }
     elif args.mode == "score-clf":
         # apply a stored classifier to a documents parquet dir: one

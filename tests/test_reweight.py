@@ -189,3 +189,94 @@ def test_nfc_python_matches_duckdb_utf8proc(texts):
     for t in texts:
         got = con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
         assert got == unicodedata.normalize("NFC", t), repr(t)
+
+
+def test_job_train_then_score_dsir(spark, tmp_path):
+    """--mode train-dsir persists the bucket log-ratio index;
+    --mode score-dsir applies it to a later batch. Scored weights
+    must equal the in-session train+score path, and docs made ONLY of
+    training-unseen tokens must get the closed-form unseen default."""
+    import os
+
+    import jobs.run_pipeline as job
+    from fineweb_modal_spark.sources.tables import load_table
+
+    docs_dir = str(tmp_path / "docs")
+    docs = load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "text", "source"
+    )
+    docs.write.parquet(docs_dir)
+
+    mdir = str(tmp_path / "dsir_index")
+    rc = job.main(
+        ["--input", docs_dir, "--output", mdir, "--mode", "train-dsir"]
+    )
+    assert rc == 0
+    assert os.path.isdir(mdir)
+
+    delta_dir = str(tmp_path / "delta")
+    delta = spark.createDataFrame(
+        [(9_000_001, "zzqq wwxx zzqq"), (9_000_002, None)],
+        "doc_id long, text string",
+    )
+    delta.write.parquet(delta_dir)
+    scores_dir = str(tmp_path / "dsir_scores")
+    rc = job.main(
+        ["--input", delta_dir, "--output", scores_dir,
+         "--mode", "score-dsir", "--model", mdir]
+    )
+    assert rc == 0
+
+    got = {
+        r.doc_id: (r.tok_count, r.lw_micro)
+        for r in spark.read.parquet(scores_dir).collect()
+    }
+    ratio = reweight.train_dsir_ratio(docs)
+    want = {
+        r.doc_id: (r.tok_count, r.lw_micro)
+        for r in reweight.score_with_ratio(delta, ratio).collect()
+    }
+    assert got == want
+    assert got[9_000_002] == (0, 0)  # NULL text → identity weight
+    assert got[9_000_001][0] == 3
+
+
+def test_dsir_unseen_bucket_gets_closed_form_default(spark):
+    """A delta token whose bucket the training corpus never populated
+    scores the add-1 closed form ln((nr+B)/(nt+B)) — exactly what a
+    full retrain with ct=cr=0 would assign. Trained on a 2-doc corpus
+    so almost every bucket is provably unpopulated."""
+    import math
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta", "src0"), (2, "gamma", "src1")],
+        "doc_id long, text string, source string",
+    )
+    ratio = reweight.train_dsir_ratio(train)
+    trained_buckets = {r["b"] for r in ratio.collect()}
+    # find a probe token hashing OUTSIDE the trained buckets
+    probe = None
+    for i in range(1000):
+        t = f"probe{i}"
+        b = (
+            int(hashlib.md5(("dsir:" + t).encode()).hexdigest()[:15], 16)
+            % reweight.DSIR_BUCKETS
+        )
+        if b not in trained_buckets:
+            probe = t
+            break
+    assert probe is not None
+    delta = spark.createDataFrame(
+        [(10, probe)], "doc_id long, text string"
+    )
+    (row,) = reweight.score_with_ratio(delta, ratio).collect()
+    nr, nt, B = 3, 2, reweight.DSIR_BUCKETS
+    default = int(
+        math.copysign(
+            math.floor(
+                abs((math.log(nr + B) - math.log(nt + B)) * 1e6) + 0.5
+            ),
+            1,
+        )
+    )
+    assert (row["tok_count"], row["lw_micro"]) == (1, default)
