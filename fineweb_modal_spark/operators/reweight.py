@@ -274,6 +274,43 @@ FROM delta dd LEFT JOIN scored s USING (doc_id)
 """.strip()
 
 
+def dsir_literal_score_exprs(ratio_rows) -> tuple:
+    """(tok_count, lw_micro) as ROW-LOCAL column expressions from a
+    frozen ratio index (collected rows — ≤ DSIR_BUCKETS, the same
+    bounded-collect pattern as the edu centroid literal fold).
+
+    The index ships as a constant-folded map literal and the per-doc
+    sum runs INSIDE the row via aggregate() over the token array —
+    zero shuffle, zero joins, zero state — which is what makes the
+    scorer legal in an append-mode stream (see
+    streaming/incremental.dsir_score_stream). Values are identical to
+    score_with_ratio: same bucket hash, same lrq integers, same
+    closed-form unseen default."""
+    b = DSIR_BUCKETS
+    pairs = ", ".join(
+        f"CAST({r['b']} AS BIGINT), CAST({r['lrq']} AS BIGINT)"
+        for r in ratio_rows
+    )
+    nr = ratio_rows[0]["nr"] if ratio_rows else 0
+    nt = ratio_rows[0]["nt"] if ratio_rows else 0
+    default = (
+        f"CAST(round((ln({nr} + {b}) - ln({nt} + {b})) * 1000000) AS BIGINT)"
+    )
+    toks = sd.ws_tokens("lower(text)", sd.SPARK)
+    bucket_t = H.md5_i64("'dsir:' || t", sd.SPARK)
+    lw = F.expr(
+        f"CASE WHEN text IS NULL THEN CAST(0 AS BIGINT) ELSE "
+        f"aggregate({toks}, CAST(0 AS BIGINT), (acc, t) -> "
+        f"acc + coalesce(element_at(map({pairs}), ({bucket_t}) % {b}), "
+        f"{default})) END"
+    )
+    tok_count = F.expr(
+        f"CASE WHEN text IS NULL THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(size({toks}) AS BIGINT) END"
+    )
+    return tok_count, lw
+
+
 # ---------------------------------------------------------------------------
 # DoReMi domain reweighting (static-excess-loss closed form)
 # ---------------------------------------------------------------------------

@@ -5495,5 +5495,25 @@ def q_dsir_incremental_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reweight.score_with_ratio(delta, ratio)
 
 
+@register("dsir_score_stream", reweight.dsir_weights_sql(D))
+def q_dsir_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-trained DSIR ratio index applied to a documents STREAM
+    via the constant-folded map-literal fold — per-doc sums run
+    inside each row, so the scorer is stateless and append-legal.
+    Single-batch AvailableNow source ⇒ the stream must reproduce the
+    batch DSIR weights exactly (the oracle IS dsir_weights_sql)."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="gate_dsirstream_")
+    load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(
+        f"{d}/docs"
+    )
+    return streaming_inc.dsir_score_stream(
+        spark, f"{d}/docs", f"{d}/ckpt", query_name=f"gate_dsir_{tag}"
+    )
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401

@@ -349,6 +349,42 @@ def lm_score_stream(
     return spark.table(query_name)
 
 
+def dsir_score_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint: str,
+    query_name: str = "dsir_scores",
+) -> DataFrame:
+    """Train-batch / score-stream for the DSIR reweighting stage: the
+    bucket log-ratio index is frozen from the BATCH view of docs_dir
+    (≤256-row collect), then a readStream over the same directory
+    scores arriving documents via the constant-folded map-literal fold
+    — the per-doc sum runs INSIDE each row, so the scorer is
+    stateless (zero shuffle, zero stream state, append mode). Same
+    production shape as edu_score_stream/lm_score_stream: index is an
+    artifact of the last training run, never recomputed per
+    micro-batch."""
+    from ..operators import reweight
+
+    batch = spark.read.parquet(docs_dir)
+    ratio_rows = reweight.train_dsir_ratio(batch).collect()
+    stream = spark.readStream.schema(batch.schema).parquet(docs_dir)
+    tok_count, lw = reweight.dsir_literal_score_exprs(ratio_rows)
+    scored = stream.select(
+        "doc_id", tok_count.alias("tok_count"), lw.alias("lw_micro")
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def edu_score_stream(
     spark: SparkSession,
     emb_dir: str,
