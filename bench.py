@@ -55,6 +55,7 @@ HEADLINE = [
     "edu_centroid_scores",  # semantic admission: centroid train + literal-fold scoring
     "full_curation_report",  # every admission family joined into one decision/doc
     "dsir_importance_weights",  # DSIR: token explode + 256-bucket broadcast ratio
+    "unicode_nfc_scrub",  # Arrow pandas-UDF NFC pass (the one Python-side stage)
     "tpch_q1_pricing_summary",  # scan-heavy partial agg over lineitem
     "tpch_q9_product_profit",  # 6-way join: 1 fact shuffle + broadcast dims
     "tpch_q18_large_volume_customer",  # agg-filtered semi join + top-100
@@ -553,13 +554,19 @@ def incremental_scaling(sf_dir: str, reps_hi: int = 32, rounds: int = 2) -> dict
     1,000-vector delta assigned against a STORED IVF centroid index
     (`ivf_assign_delta`, zero shuffle) vs re-assigning the whole
     (corpus ∪ delta) — the minimal rebuild a non-incremental design
-    pays per batch (retraining would cost more still)."""
+    pays per batch (retraining would cost more still).
+
+    And the reweighting family (``dsir`` block): the fixed delta
+    scored against the STORED ≤256-row DSIR ratio index
+    (`score_with_ratio` — one broadcast join, corpus never read) vs
+    retraining the ratio over (stored ∪ delta) and then scoring — the
+    per-crawl cost of not persisting the index."""
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
-    from fineweb_modal_spark.operators import dedup, similarity
+    from fineweb_modal_spark.operators import dedup, reweight, similarity
 
     spark = get_spark(app_name="incremental_scaling")
     _warmup(spark)
@@ -579,6 +586,10 @@ def incremental_scaling(sf_dir: str, reps_hi: int = 32, rounds: int = 2) -> dict
         n_vecs[tag] = emb.count()
         similarity.build_ivf_index(
             spark, emb, os.path.join(d, "ivf_index.parquet")
+        )
+        reweight.save_ratio(
+            reweight.train_dsir_ratio(docs),
+            os.path.join(d, "dsir_index.parquet"),
         )
     # Fixed delta, identical at both sizes: 1-in-10 of the ×1 corpus
     # re-crawled with a tail edit (near-dups of stored docs present at
@@ -654,8 +665,27 @@ def incremental_scaling(sf_dir: str, reps_hi: int = 32, rounds: int = 2) -> dict
                     ivf_index,
                 )
             ))
+            ratio = reweight.load_ratio(
+                spark, os.path.join(d, "dsir_index.parquet")
+            )
+            timed((tag, "dsir_incr"), lambda: _force(
+                reweight.score_with_ratio(delta, ratio)
+            ))
+            # the rebuild a non-incremental design pays per crawl:
+            # retrain the ratio over (stored ∪ delta), then score
+            timed((tag, "dsir_retrain"), lambda: _force(
+                reweight.score_with_ratio(
+                    delta,
+                    reweight.train_dsir_ratio(
+                        docs.select("doc_id", "text", "source").unionByName(
+                            delta.withColumn("source", F.lit("delta"))
+                        )
+                    ),
+                )
+            ))
     sizes = {}
     ivf = {}
+    dsir = {}
     for tag in ("lo", "hi"):
         incr, merge, resign = (
             best[(tag, "incr")], best[(tag, "merge")], best[(tag, "resign")]
@@ -676,6 +706,14 @@ def incremental_scaling(sf_dir: str, reps_hi: int = 32, rounds: int = 2) -> dict
             "reassign_all_sec": round(r, 3),
             "advantage_vs_reassign": round(r / a, 2),
         }
+        di, dr = best[(tag, "dsir_incr")], best[(tag, "dsir_retrain")]
+        dsir[tag] = {
+            "stored_docs": n_docs[tag],
+            "score_delta_sec": round(di, 3),
+            "delta_docs_per_sec": round(n_delta / di, 1),
+            "retrain_score_sec": round(dr, 3),
+            "advantage_vs_retrain": round(dr / di, 2),
+        }
     shutil.rmtree(base, ignore_errors=True)
     return {
         "metric": "incremental_admission_scaling",
@@ -685,11 +723,15 @@ def incremental_scaling(sf_dir: str, reps_hi: int = 32, rounds: int = 2) -> dict
         "reps_hi": reps_hi,
         "sizes": sizes,
         "ivf": ivf,
+        "dsir": dsir,
         "index_growth": round(
             sizes["hi"]["incr_sec"] / sizes["lo"]["incr_sec"], 2
         ),
         "ivf_index_growth": round(
             ivf["hi"]["assign_delta_sec"] / ivf["lo"]["assign_delta_sec"], 2
+        ),
+        "dsir_index_growth": round(
+            dsir["hi"]["score_delta_sec"] / dsir["lo"]["score_delta_sec"], 2
         ),
         "corpus_growth": round(n_docs["hi"] / n_docs["lo"], 1),
         "sf": sf_dir,
