@@ -174,7 +174,15 @@ def _latest_scaling() -> dict | None:
             full = json.load(f)
     except (OSError, ValueError):
         return None
-    return {k: full[k] for k in _SCALING_KEYS if k in full}
+    out = {k: full[k] for k in _SCALING_KEYS if k in full}
+    att = [a.get("value") for a in full.get("attempts", []) if "value" in a]
+    if att:
+        # the kept value is best-of-attempts (BASELINE.md methodology);
+        # surface the distribution so the bench line can't overclaim
+        out["n_attempts"] = len(att)
+        out["attempts_min"] = min(att)
+        out["attempts_max"] = max(att)
+    return out
 
 
 def _keep_drop_f1(spark, sf_dir: str) -> dict | None:
