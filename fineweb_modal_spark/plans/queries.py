@@ -5515,5 +5515,38 @@ def q_dsir_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_safe_split_oracle() -> str:
+    from ..operators import split as split_mod
+
+    clusters = dedup.resolve_clusters_oracle_sql(D)
+    return f"""
+SELECT doc_id, keeper_doc_id,
+       {split_mod.split_expr(D, 'keeper_doc_id')} AS split
+FROM ({clusters}) c
+""".strip()
+
+
+@register("cluster_safe_split", _cluster_safe_split_oracle())
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test sharding: the split coin hashes
+    the duplicate-CLUSTER keeper id, not the document id, so a
+    near-dup pair can never straddle train and test (the classic
+    eval-contamination bug an id-hash split silently commits on any
+    corpus with near-dups). Costs one extra broadcast-sized relation
+    over the plain split: the cluster labels already exist from the
+    dedup pass."""
+    from ..operators import split as split_mod
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    corpus = spark.sql(dedup.corpus_with_near_dups_sql(sd.SPARK))
+    pairs = dedup.lsh_pairs(corpus).where(
+        F.col("jaccard") >= dedup.DEFAULT_JACCARD
+    )
+    clusters = dedup.resolve_clusters(pairs, corpus.select("doc_id"))
+    return clusters.withColumn(
+        "split", F.expr(split_mod.split_expr(sd.SPARK, "keeper_doc_id"))
+    )
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401

@@ -169,3 +169,43 @@ def test_rule_ablation_waterfall_invariants(spark):
     # (formatted explain names each node twice: tree + detail header)
     plan = _plan(quality.rule_ablation(docs))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_cluster_safe_split_never_straddles(spark):
+    """The leakage property itself: every verified near-dup pair
+    (jaccard >= threshold) lands in ONE split when the coin hashes
+    the cluster keeper — and the plain id-hash split would provably
+    have straddled at least one of these clusters on this corpus
+    (the bug this operator exists to fix)."""
+    from fineweb_modal_spark.operators import dedup
+
+    load_table(spark, SF, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    corpus = spark.sql(dedup.corpus_with_near_dups_sql("spark"))
+    pairs = dedup.lsh_pairs(corpus).where(
+        F.col("jaccard") >= dedup.DEFAULT_JACCARD
+    )
+    clusters = dedup.resolve_clusters(pairs, corpus.select("doc_id"))
+    safe = clusters.withColumn(
+        "split", F.expr(split.split_expr("spark", "keeper_doc_id"))
+    )
+    # no cluster exposes more than one distinct split
+    straddling = (
+        safe.groupBy("keeper_doc_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert straddling == 0
+    # the id-hash split WOULD have straddled >=1 multi-doc cluster here
+    naive = clusters.withColumn(
+        "split", F.expr(split.split_expr("spark", "doc_id"))
+    )
+    naive_straddling = (
+        naive.groupBy("keeper_doc_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert naive_straddling > 0
