@@ -344,3 +344,159 @@ SELECT (CASE WHEN old_keep THEN 'kept' ELSE 'dropped' END)
 FROM o JOIN n USING (norm_url)
 GROUP BY transition
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# SCD2 URL history: a versioned dimension over N crawl snapshots
+# ---------------------------------------------------------------------------
+#
+# The lakehouse-native way to keep "what did this URL say, when" —
+# one row per (url, content-version) with a [valid_from, valid_to)
+# snapshot-id interval and an is_current flag. Rebuilding training
+# corpora as-of an earlier crawl, auditing when a page turned into
+# spam, and retiring vanished URLs all read this one relation instead
+# of N full snapshots. (The reference keeps only the newest dump;
+# this is the history the diff operators above make cheap to keep.)
+#
+# Scale shape: each snapshot collapses to (norm_url, md5, snap_id) —
+# codegen, column-pruned, text never shuffles — and every window is
+# PARTITIONED BY norm_url, so state per key is the handful of
+# versions of one URL, never the corpus. One shuffle on norm_url
+# total (the union inherits it; Spark reuses the partitioning across
+# the lag/sum/lead windows and the run groupBy).
+
+
+def third_snapshot_sql(d: str, pages: str = "pages") -> str:
+    """Crawl #3 on top of `new_snapshot_sql`'s crawl #2: every 19th
+    of crawl-2's survivors vanished, every 5th survivor was revised
+    AGAIN (a second content version), crawl-2's %7 revisions persist,
+    and a fresh %23 cohort appeared. Pure function of doc_id."""
+    return (
+        f"SELECT doc_id, url, "
+        f"CASE WHEN doc_id % 7 = 0 THEN text || ' revised' ELSE text END "
+        f"|| CASE WHEN doc_id % 5 = 0 THEN ' rev2' ELSE '' END AS text "
+        f"FROM {pages} WHERE doc_id % 11 <> 0 AND doc_id % 19 <> 0 "
+        f"UNION ALL "
+        f"SELECT doc_id + 7000000 AS doc_id, "
+        f"'https://h' || CAST(doc_id % 13 AS STRING) || '.example.com/new/' "
+        f"|| CAST(doc_id AS STRING) AS url, "
+        f"'fresh page body ' || CAST(doc_id AS STRING) "
+        f"|| CASE WHEN doc_id % 34 = 0 THEN ' updated' ELSE '' END AS text "
+        f"FROM {pages} WHERE doc_id % 17 = 0 "
+        f"UNION ALL "
+        f"SELECT doc_id + 9000000 AS doc_id, "
+        f"'https://h' || CAST(doc_id % 13 AS STRING) || '.example.com/new2/' "
+        f"|| CAST(doc_id AS STRING) AS url, "
+        f"'brand new page ' || CAST(doc_id AS STRING) AS text "
+        f"FROM {pages} WHERE doc_id % 23 = 0"
+    )
+
+
+def scd2_history(snaps: list[DataFrame]) -> DataFrame:
+    """(norm_url, version_n, md5, valid_from, valid_to, is_current):
+    SCD2 dimension over ordered snapshots (snaps[i] = snapshot i).
+
+    A version is a maximal run of CONSECUTIVE snapshots with the same
+    md5; a gap (URL absent from a snapshot) closes the version even
+    if the content later reappears unchanged. valid_to is therefore
+    always last_seen + 1 — the first snapshot id where this version
+    no longer holds (a successor version, a deletion, or a gap all
+    start exactly there, so no lead() pass is needed and the column
+    is never NULL; nullable ints degrade to float64 in the driver's
+    pandas fetch and would hash-diverge). is_current marks versions
+    alive at the newest snapshot (valid_to == len(snaps)).
+    """
+    from pyspark.sql import Window
+
+    n = len(snaps)
+    tagged = None
+    for i, s in enumerate(snaps):
+        t = urldedup.with_norm_url(s).select(
+            "norm_url",
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("md5"),
+            F.lit(i).cast("bigint").alias("snap_id"),
+        )
+        tagged = t if tagged is None else tagged.unionAll(t)
+    w = Window.partitionBy("norm_url").orderBy("snap_id")
+    flagged = tagged.select(
+        "norm_url",
+        "md5",
+        "snap_id",
+        F.when(
+            F.lag("md5").over(w).isNull()
+            | (F.lag("md5").over(w) != F.col("md5"))
+            | (F.lag("snap_id").over(w) != F.col("snap_id") - 1),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_start"),
+    )
+    versioned = flagged.withColumn(
+        "version_n", F.sum("is_start").over(w).cast("bigint")
+    )
+    runs = versioned.groupBy("norm_url", "version_n", "md5").agg(
+        F.min("snap_id").alias("valid_from"),
+        F.max("snap_id").alias("last_snap"),
+    )
+    out = runs.select(
+        "norm_url",
+        "version_n",
+        "md5",
+        F.col("valid_from").cast("bigint").alias("valid_from"),
+        (F.col("last_snap") + 1).cast("bigint").alias("valid_to"),
+    )
+    return out.withColumn("is_current", F.col("valid_to") == F.lit(n))
+
+
+def scd2_oracle_sql(d: str, pages_select: str, n_snaps: int = 3) -> str:
+    """The identical version algebra in portable window SQL: lag-flag
+    version starts, running-sum version ids, per-run min/max, and
+    valid_to = last_seen + 1."""
+    norm = urldedup.normalize_sql("url", d)
+    snap2 = new_snapshot_sql(d)
+    snap3 = third_snapshot_sql(d)
+    if d != sd.SPARK:
+        snap2 = snap2.replace("AS STRING", "AS VARCHAR")
+        snap3 = snap3.replace("AS STRING", "AS VARCHAR")
+    return f"""
+WITH pages AS ({pages_select}),
+snap1 AS (SELECT doc_id, url, text FROM pages),
+snap2 AS ({snap2}),
+snap3 AS ({snap3}),
+tagged AS (
+  SELECT {norm} AS norm_url, md5(coalesce(text, '')) AS md5,
+         CAST(0 AS BIGINT) AS snap_id FROM snap1
+  UNION ALL
+  SELECT {norm} AS norm_url, md5(coalesce(text, '')) AS md5,
+         CAST(1 AS BIGINT) AS snap_id FROM snap2
+  UNION ALL
+  SELECT {norm} AS norm_url, md5(coalesce(text, '')) AS md5,
+         CAST(2 AS BIGINT) AS snap_id FROM snap3
+),
+flagged AS (
+  SELECT norm_url, md5, snap_id,
+         CASE WHEN lag(md5) OVER w IS NULL
+              OR lag(md5) OVER w <> md5
+              OR lag(snap_id) OVER w <> snap_id - 1
+              THEN 1 ELSE 0 END AS is_start
+  FROM tagged
+  WINDOW w AS (PARTITION BY norm_url ORDER BY snap_id)
+),
+versioned AS (
+  SELECT norm_url, md5, snap_id,
+         CAST(sum(is_start) OVER (PARTITION BY norm_url ORDER BY snap_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS version_n
+  FROM flagged
+),
+runs AS (
+  SELECT norm_url, version_n, md5,
+         min(snap_id) AS valid_from, max(snap_id) AS last_snap
+  FROM versioned GROUP BY norm_url, version_n, md5
+)
+SELECT norm_url, version_n, md5,
+       CAST(valid_from AS BIGINT) AS valid_from,
+       CAST(last_snap + 1 AS BIGINT) AS valid_to,
+       (last_snap + 1 = {n_snaps}) AS is_current
+FROM runs
+""".strip()

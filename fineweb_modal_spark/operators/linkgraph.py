@@ -351,3 +351,119 @@ SELECT a.dst AS host_a, b.dst AS host_b,
 FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
 GROUP BY a.dst, b.dst
 """.strip()
+
+
+def _undirected_host_edges(linked: DataFrame) -> DataFrame:
+    """(u, v) canonical undirected host edges, u < v, no self-loops.
+
+    host_edges is already host-granular, so everything downstream is
+    node²-bounded (web hosts: ~10^8 at full-crawl scale), never
+    corpus-bounded."""
+    e = host_edges(linked).select("src", "dst")
+    return (
+        e.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def host_triangles(linked: DataFrame) -> DataFrame:
+    """(host, degree, n_triangles, cc_ppm): per-host triangle count
+    and local clustering coefficient over the undirected host graph —
+    the link-farm / mutual-admiration-society detector (organic link
+    neighborhoods are sparse; paid networks interlink densely).
+
+    Compact-forward algorithm: canonical edges (u < v) make each
+    triangle a < b < c exactly once, so two equi-joins enumerate it
+    once: wedges (a,b)x(b,c) then a semi-check that closing edge
+    (a,c) exists. At web scale the id-orientation here is replaced by
+    degree-orientation (orient each edge low-degree → high-degree),
+    which provably bounds wedge fan-out by O(sqrt(|E|)) per node —
+    the join SHAPE is identical, only the ordering key changes.
+    cc_ppm = 2*T*10^6 DIV (deg*(deg-1)) in exact integer ppm so no
+    float boundary flips a value between engines."""
+    und = _undirected_host_edges(linked).localCheckpoint(eager=False)
+    # degree: each canonical edge contributes to both endpoints
+    deg = (
+        und.select(F.col("u").alias("host"))
+        .unionAll(und.select(F.col("v").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_host = (
+        tri.select(F.col("a").alias("host"))
+        .unionAll(tri.select(F.col("b").alias("host")))
+        .unionAll(tri.select(F.col("c").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    j = deg.join(per_host, "host", "left").select(
+        "host",
+        F.col("degree").cast("bigint").alias("degree"),
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+    )
+    return j.select(
+        "host",
+        "degree",
+        "n_triangles",
+        F.when(
+            F.col("degree") >= 2,
+            F.expr("CAST((2 * n_triangles * 1000000) DIV (degree * (degree - 1)) AS BIGINT)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("cc_ppm"),
+    )
+
+
+def triangles_oracle_sql(d: str, pages_select: str) -> str:
+    """Same canonical-edge triangle enumeration in portable SQL."""
+    unnest = (
+        f"explode(regexp_extract_all(html, '{_HREF_RE}', 1))"
+        if d == S
+        else f"unnest(regexp_extract_all(html, '{_HREF_RE}', 1))"
+    )
+    div = "DIV" if d == S else "//"
+    return f"""
+WITH pages AS ({pages_select}),
+linked AS ({linked_pages_sql(d)}),
+de AS (
+  SELECT DISTINCT {blocklist.host_sql("url", d)} AS src, {unnest} AS dst
+  FROM linked
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM de WHERE src <> dst
+),
+deg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS host FROM und UNION ALL SELECT v AS host FROM und
+  ) GROUP BY host
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+per_host AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS host FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY host
+)
+SELECT deg.host, deg.degree,
+       CAST(coalesce(per_host.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN deg.degree >= 2
+         THEN (2 * coalesce(per_host.n_triangles, 0) * 1000000)
+              {div} (deg.degree * (deg.degree - 1))
+         ELSE 0 END AS BIGINT) AS cc_ppm
+FROM deg LEFT JOIN per_host ON per_host.host = deg.host
+""".strip()

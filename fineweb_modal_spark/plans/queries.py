@@ -97,8 +97,9 @@ _ROTATION_PRIORITY = [
     "ccnet_filter_pipeline", "pipeline_scored",
     # span/line dedup
     "dedup_repeated_spans", "dedup_excise_spans", "line_dedup_clean",
-    # link graph
+    # link graph + crawl history (round-4 additions lead their family)
     "host_pagerank", "anchor_text_index", "host_cocitation",
+    "host_triangles", "scd2_url_history",
     # TPC-H heavies
     "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
     # sinks / lifecycle / incremental index paths
@@ -3524,6 +3525,33 @@ def q_merge_rescored_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawldiff_op.merge_rescored(old, new_snap)
 
 
+@register(
+    "scd2_url_history",
+    crawldiff_op.scd2_oracle_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_scd2_url_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 versioned URL dimension over THREE crawl snapshots:
+    one row per (norm_url, content-version) with [valid_from,
+    valid_to) snapshot intervals and is_current — the 'what did this
+    URL say, when' relation that as-of corpus rebuilds and spam-drift
+    audits read instead of N full snapshots. Planted fixtures cover
+    every transition: stable, revised once, revised twice, deleted at
+    snap 2, deleted at snap 3, born at snap 2, born at snap 2 then
+    revised, born at snap 3. Snapshots collapse to (norm_url, md5)
+    before ONE shuffle; all windows partition by norm_url, so state
+    per key is one URL's version list, never the corpus."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    p.createOrReplaceTempView("pages_scd2")
+    snap1 = p.select("doc_id", "url", "text")
+    snap2 = spark.sql(crawldiff_op.new_snapshot_sql(sd.SPARK, "pages_scd2"))
+    snap3 = spark.sql(
+        crawldiff_op.third_snapshot_sql(sd.SPARK, "pages_scd2")
+    )
+    return crawldiff_op.scd2_history([snap1, snap2, snap3])
+
+
 @register("dedup_apply_keepers", dedup.apply_keepers_oracle_sql(D))
 def q_dedup_apply_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup story closed end-to-end: LSH pairs → connected
@@ -3817,6 +3845,27 @@ def q_host_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     p.createOrReplaceTempView("pages_cocite")
     linked = spark.sql(linkgraph_op.linked_pages_sql(sd.SPARK, "pages_cocite"))
     return linkgraph_op.host_cocitation(linked)
+
+
+@register(
+    "host_triangles",
+    linkgraph_op.triangles_oracle_sql(
+        D, pages_mod.pages_select_sql(sd.DUCKDB, with_html=False)
+    ),
+)
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle count + local clustering coefficient over the
+    undirected host graph — the link-farm motif detector (organic link
+    neighborhoods are sparse; paid networks interlink densely).
+    Canonical a<b<c edges make two equi-joins enumerate each triangle
+    exactly once on the node²-bounded host edge list; cc is exact
+    integer ppm so both engines agree bit-for-bit. At web scale the
+    id-orientation swaps for degree-orientation (same join shape,
+    O(sqrt(E)) wedge fan-out bound)."""
+    p = pages_mod.load_pages(spark, sf_dir, with_html=False)
+    p.createOrReplaceTempView("pages_tri")
+    linked = spark.sql(linkgraph_op.linked_pages_sql(sd.SPARK, "pages_tri"))
+    return linkgraph_op.host_triangles(linked)
 
 
 @register(

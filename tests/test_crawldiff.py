@@ -148,3 +148,100 @@ def test_script_report_flags_mislabel(spark):
     assert not out[3].script_mismatch
     assert out[4].script_mismatch
     assert out[4].cjk_ratio == 1.0
+
+
+def test_scd2_history_hand_fixture(spark):
+    """Every SCD2 transition on a 4-URL, 3-snapshot fixture whose
+    version intervals are computable by hand."""
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, url string, text string"
+    )
+    s0 = mk(
+        [
+            (1, "https://a.example/stable", "A"),
+            (2, "https://a.example/edited", "B"),
+            (3, "https://a.example/deleted-mid", "C"),
+            (4, "https://a.example/gap", "D"),
+        ]
+    )
+    s1 = mk(
+        [
+            (1, "https://a.example/stable", "A"),
+            (2, "https://a.example/edited", "B2"),
+            (5, "https://a.example/born", "E"),
+        ]
+    )
+    s2 = mk(
+        [
+            (1, "https://a.example/stable", "A"),
+            (2, "https://a.example/edited", "B3"),
+            (4, "https://a.example/gap", "D"),  # reappears, same bytes
+            (5, "https://a.example/born", "E"),
+        ]
+    )
+    out = crawldiff.scd2_history([s0, s1, s2])
+    got = {
+        (r.norm_url, r.version_n): (r.valid_from, r.valid_to, r.is_current)
+        for r in out.collect()
+    }
+    assert got == {
+        ("a.example/stable", 1): (0, 3, True),
+        ("a.example/edited", 1): (0, 1, False),
+        ("a.example/edited", 2): (1, 2, False),
+        ("a.example/edited", 3): (2, 3, True),
+        ("a.example/deleted-mid", 1): (0, 1, False),
+        # the gap CLOSES the first version even though bytes match;
+        # the reappearance is a new version
+        ("a.example/gap", 1): (0, 1, False),
+        ("a.example/gap", 2): (2, 3, True),
+        ("a.example/born", 1): (1, 3, True),
+    }
+    # interval algebra: versions of one URL never overlap and are
+    # ordered by version_n
+    by_url: dict = {}
+    for (u, v), (f, t, _) in got.items():
+        by_url.setdefault(u, []).append((v, f, t))
+    for spans in by_url.values():
+        spans.sort()
+        for (_, f1, t1), (_, f2, _) in zip(spans, spans[1:]):
+            assert f1 < t1 <= f2
+
+
+def test_scd2_asof_reconstruction(spark):
+    """The point of SCD2: filtering valid_from <= s < valid_to must
+    reconstruct snapshot s exactly."""
+    from pyspark.sql import functions as F
+
+    from fineweb_modal_spark.functions import sqldialect as sd
+    from fineweb_modal_spark.sources import pages as pages_mod
+
+    p = pages_mod.load_pages(spark, "/root/testdata/sf0.001", with_html=False)
+    p.createOrReplaceTempView("pages_scd2_test")
+    snaps = [
+        p.select("doc_id", "url", "text"),
+        spark.sql(crawldiff.new_snapshot_sql(sd.SPARK, "pages_scd2_test")),
+        spark.sql(crawldiff.third_snapshot_sql(sd.SPARK, "pages_scd2_test")),
+    ]
+    hist = crawldiff.scd2_history(snaps).cache()
+    try:
+        from fineweb_modal_spark.operators import urldedup
+
+        for s, snap in enumerate(snaps):
+            want = sorted(
+                (r.norm_url, r.md5)
+                for r in urldedup.with_norm_url(snap)
+                .select(
+                    "norm_url",
+                    F.md5(F.coalesce("text", F.lit(""))).alias("md5"),
+                )
+                .collect()
+            )
+            got = sorted(
+                (r.norm_url, r.md5)
+                for r in hist.where(
+                    (F.col("valid_from") <= s) & (F.lit(s) < F.col("valid_to"))
+                ).collect()
+            )
+            assert got == want, f"snapshot {s} not reconstructed"
+    finally:
+        hist.unpersist()

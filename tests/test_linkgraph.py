@@ -147,3 +147,61 @@ def test_corpus_diversity_skew_detection(spark):
     assert out["flat"].inv_simpson == 2.0
     assert out["mono"].inv_simpson < 1.3
     assert out["mono"].n_docs == 100 and out["mono"].n_hosts == 2
+
+
+def test_host_triangles_hand_graph(spark):
+    """K4 on h0..h3 plus a pendant h4: 4 triangles, each K4 host in
+    3 of them with cc=1; the pendant's host has cc=0."""
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]
+    edges += [(0, 4), (4, 0)]
+    rows = []
+    for i, (a, b) in enumerate(edges):
+        rows.append(
+            (
+                i,
+                f"https://h{a}.example.com/p/{i}",
+                f'<html><body><a href="https://h{b}.example.com/x">l</a></body></html>',
+            )
+        )
+    linked = spark.createDataFrame(
+        rows, "doc_id long, url string, html string"
+    )
+    out = {
+        r.host: (r.degree, r.n_triangles, r.cc_ppm)
+        for r in linkgraph.host_triangles(linked).collect()
+    }
+    for h in ("h1", "h2", "h3"):
+        assert out[f"{h}.example.com"] == (3, 3, 1000000)
+    # h0 also touches the pendant: degree 4, still 3 triangles,
+    # cc = 2*3/(4*3) = 0.5
+    assert out["h0.example.com"] == (4, 3, 500000)
+    assert out["h4.example.com"] == (1, 0, 0)
+    # global count: each triangle counted once -> sum of per-host
+    # participation = 3 * n_triangles
+    assert sum(v[1] for v in out.values()) == 3 * 4
+
+
+def test_host_triangles_ignores_direction_and_multiplicity(spark):
+    """A triangle seen via duplicate and reversed links still counts
+    exactly once."""
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (0, 2), (2, 0)]
+    rows = [
+        (
+            i,
+            f"https://h{a}.example.com/p/{i}",
+            f'<html><a href="https://h{b}.example.com/x">l</a></html>',
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    linked = spark.createDataFrame(
+        rows, "doc_id long, url string, html string"
+    )
+    out = {
+        r.host: r.n_triangles
+        for r in linkgraph.host_triangles(linked).collect()
+    }
+    assert out == {
+        "h0.example.com": 1,
+        "h1.example.com": 1,
+        "h2.example.com": 1,
+    }
