@@ -107,6 +107,8 @@ _ROTATION_PRIORITY = [
     "maintenance_roundtrip", "dedup_incremental_lsh",
     "lsh_index_merge", "ivf_incremental_assign", "semantic_dedup",
     "edu_centroid_scores",
+    # FTS positional phrase search (round-4 addition)
+    "fts_phrase_search",
 ]
 
 
@@ -2058,6 +2060,97 @@ def q_fts_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "tok", "doc_id", "tf", "dl", "df",
             F.round("score", 6).alias("score"), "rank",
+        )
+    )
+
+
+_FTS_NPHRASES = 3
+
+_FTS_PHRASE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS pos
+  FROM documents WHERE length(trim(text)) > 0
+),
+big AS (
+  SELECT doc_id, tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+big2 AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+phrases AS (
+  SELECT w1, w2, count(*) AS n_total FROM big2 GROUP BY w1, w2
+  ORDER BY n_total DESC, w1, w2 LIMIT {_FTS_NPHRASES}
+),
+m AS (
+  SELECT b.w1, b.w2, b.doc_id, count(*) AS n_occ
+  FROM big2 b JOIN phrases p ON b.w1 = p.w1 AND b.w2 = p.w2
+  GROUP BY b.w1, b.w2, b.doc_id
+),
+ranked AS (
+  SELECT w1, w2, doc_id, n_occ,
+         row_number() OVER (PARTITION BY w1, w2
+                            ORDER BY n_occ DESC, doc_id) AS rank
+  FROM m
+)
+SELECT w1, w2, doc_id, CAST(n_occ AS BIGINT) AS n_occ,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_FTS_TOPK}
+"""
+
+
+@register("fts_phrase_search", _FTS_PHRASE_ORACLE)
+def q_fts_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase queries over the FTS index — the positional half a
+    keyword index can't answer: top-10 docs per two-word phrase by
+    occurrence count. Query phrases are the corpus's 3 most frequent
+    bigrams (deterministic, tie-broken lexicographically), so the
+    gate is self-contained.
+
+    Scale shape: positions come from posexplode (DuckDB: lockstep
+    unnest + generate_subscripts); adjacency is lead() over a window
+    PARTITIONED BY doc_id — state is one document's token stream,
+    never the corpus, and k-word phrases chain k-1 leads with the
+    same plan. Phrase selection and the match probe are two-phase
+    count aggs; the 3-row phrase relation broadcasts; per-phrase
+    ranking is ONE window Spark executes as WindowGroupLimit (partial
+    top-k per map task before the shuffle)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.select(
+        "doc_id",
+        F.col("tok").alias("w1"),
+        F.lead("tok").over(wdoc).alias("w2"),
+    ).where(F.col("w2").isNotNull())
+    phrases = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .orderBy(F.desc("n_total"), "w1", "w2")
+        .limit(_FTS_NPHRASES)
+        .select("w1", "w2")
+    )
+    m = (
+        big.join(F.broadcast(phrases), ["w1", "w2"])
+        .groupBy("w1", "w2", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    w = Window.partitionBy("w1", "w2").orderBy(F.desc("n_occ"), "doc_id")
+    return (
+        m.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _FTS_TOPK)
+        .select(
+            "w1", "w2", "doc_id",
+            F.col("n_occ").cast("bigint").alias("n_occ"),
+            F.col("rank").cast("bigint").alias("rank"),
         )
     )
 
