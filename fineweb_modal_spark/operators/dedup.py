@@ -865,3 +865,128 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sim a JOIN sim b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Query-by-document: top-k nearest neighbors of GIVEN docs by shingle
+# Jaccard — the point-query form of the corpus-wide pair scan above.
+# ---------------------------------------------------------------------------
+
+QBD_TOP_K = 5
+QBD_QUERY_IDS = (0, 50, 100)  # %10==0 ⇒ each has a planted near-dup
+
+
+def similar_to_doc(
+    corpus: DataFrame,
+    query_ids: tuple = QBD_QUERY_IDS,
+    top_k: int = QBD_TOP_K,
+) -> DataFrame:
+    """(query_id, doc_id, n_shared, jaccard, rank): the top-k most
+    similar corpus docs per query doc by exact 3-shingle Jaccard —
+    'show me everything that looks like THIS doc' (takedown sweeps,
+    contamination forensics, template hunting), where the corpus-wide
+    pair operators answer the wrong question.
+
+    Scale shape: the query side is by definition tiny, so its
+    exploded shingles BROADCAST — the corpus-side scan streams once
+    with zero shuffle to form candidates (docs sharing ≥ 1 shingle
+    with a query; J > 0 implies a shared shingle, so recall is
+    exact). Only candidates hydrate their shingle sets for the exact
+    integer-set verify; ranking is one window per query_id that Spark
+    runs as WindowGroupLimit. Both engines rank on the ROUNDED
+    jaccard with a doc_id tie-break, so rank boundaries are
+    bit-deterministic."""
+    from ..functions.parallelism import ensure_parallelism
+
+    toks = H.tokens_lower("text", S)
+    sh = H.shingles("__toks", S)
+    shh = H.shingle_hashes("__sh", S)
+    sets = (
+        ensure_parallelism(corpus)
+        .selectExpr("doc_id", f"{toks} AS __toks")
+        .selectExpr("doc_id", f"{sh} AS __sh")
+        .selectExpr("doc_id", f"array_sort(array_distinct({shh})) AS sh")
+        .localCheckpoint(eager=False)
+    )
+    ids = ", ".join(str(int(i)) for i in query_ids)
+    q = sets.where(F.expr(f"doc_id IN ({ids})")).select(
+        F.col("doc_id").alias("query_id"), F.col("sh").alias("qsh")
+    )
+    qtok = q.select("query_id", F.explode("qsh").alias("h"))
+    ctok = sets.select("doc_id", F.explode("sh").alias("h"))
+    cand = (
+        ctok.join(F.broadcast(qtok), "h")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    j = (
+        cand.join(sets, "doc_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.size(F.array_intersect("sh", "qsh")).cast("bigint").alias(
+                "n_shared"
+            ),
+            F.round(
+                F.size(F.array_intersect("sh", "qsh")).cast("double")
+                / F.size(F.array_union("sh", "qsh")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("jaccard"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= top_k)
+    )
+
+
+def similar_to_doc_oracle_sql(
+    d: str,
+    query_ids: tuple = QBD_QUERY_IDS,
+    top_k: int = QBD_TOP_K,
+) -> str:
+    """Same candidate contract (any shared shingle) + exact verify +
+    rounded-jaccard ranking in DuckDB list algebra."""
+    corpus = corpus_with_near_dups_sql(d)
+    toks = H.tokens_lower("text", d)
+    sh = H.shingles("__toks", d)
+    shh = H.shingle_hashes("__sh", d)
+    ids = ", ".join(str(int(i)) for i in query_ids)
+    return f"""
+WITH corpus AS ({corpus}),
+s0 AS (SELECT doc_id, {sh} AS __sh FROM (SELECT doc_id, {toks} AS __toks FROM corpus)),
+s1 AS (SELECT doc_id, {shh} AS __shh FROM s0),
+sets AS (SELECT doc_id, list_sort(list_distinct(__shh)) AS sh FROM s1),
+q AS (SELECT doc_id AS query_id, sh AS qsh FROM sets WHERE doc_id IN ({ids})),
+tok AS (SELECT doc_id, unnest(sh) AS h FROM sets),
+qtok AS (SELECT query_id, unnest(qsh) AS h FROM q),
+cand AS (
+  SELECT DISTINCT qt.query_id, t.doc_id
+  FROM qtok qt JOIN tok t ON t.h = qt.h
+  WHERE t.doc_id <> qt.query_id
+),
+j AS (
+  SELECT c.query_id, c.doc_id,
+         CAST(len(list_intersect(s.sh, qq.qsh)) AS BIGINT) AS n_shared,
+         round(CAST(len(list_intersect(s.sh, qq.qsh)) AS DOUBLE)
+               / len(list_distinct(list_concat(s.sh, qq.qsh))), 6) AS jaccard
+  FROM cand c
+  JOIN sets s ON s.doc_id = c.doc_id
+  JOIN q qq ON qq.query_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, doc_id, n_shared, jaccard,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY jaccard DESC, doc_id) AS BIGINT) AS rank
+  FROM j
+)
+SELECT query_id, doc_id, n_shared, jaccard, rank
+FROM ranked WHERE rank <= {top_k}
+""".strip()

@@ -107,8 +107,9 @@ _ROTATION_PRIORITY = [
     "maintenance_roundtrip", "dedup_incremental_lsh",
     "lsh_index_merge", "ivf_incremental_assign", "semantic_dedup",
     "edu_centroid_scores",
-    # FTS positional phrase search (round-4 addition)
-    "fts_phrase_search",
+    # FTS positional phrase search + query-by-document retrieval
+    # (round-4 additions)
+    "fts_phrase_search", "similar_to_doc",
 ]
 
 
@@ -2935,6 +2936,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     corpus = spark.sql(dedup.corpus_with_near_dups_sql(sd.SPARK))
     return dedup.ngram_jaccard_pairs(corpus)
+
+
+@register("similar_to_doc", dedup.similar_to_doc_oracle_sql(D))
+def q_similar_to_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-document retrieval: the top-5 most similar corpus
+    docs per query doc by EXACT 3-shingle Jaccard — the point-query
+    form of the corpus-wide near-dup scan (takedown sweeps,
+    contamination forensics, template hunting). The tiny query side
+    broadcasts its exploded shingles, so the corpus streams ONCE with
+    zero shuffle to form candidates (J > 0 ⟹ a shared shingle ⟹
+    exact recall); only candidates hydrate sets for the exact verify,
+    and both engines rank on rounded jaccard with a doc_id tie-break
+    so rank boundaries are bit-deterministic."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    corpus = spark.sql(dedup.corpus_with_near_dups_sql(sd.SPARK))
+    return dedup.similar_to_doc(corpus)
 
 
 # Arrow IPC shard scan (reference chunker.py:55,124 reads HF-saved

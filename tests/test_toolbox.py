@@ -972,3 +972,38 @@ def test_merge_signature_index_supersedes_and_appends(spark):
     assert {k for k in got if k >= 5000000} == {
         5000000 + i for i in range(0, 100, 40)
     }  # fresh appended
+
+
+def test_similar_to_doc_finds_planted_neighbor(spark):
+    """Query-by-document: rank 1 for each query must be its planted
+    near-dup (same text + tail), with sane Jaccard and contiguous,
+    self-free rankings."""
+    from fineweb_modal_spark.operators import dedup
+
+    rows = []
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    for i in range(40):
+        rows.append((i, f"{base} doc {i} marker {i * 7} end"))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus.createOrReplaceTempView("documents")
+    full = spark.sql(dedup.corpus_with_near_dups_sql("spark"))
+    out = dedup.similar_to_doc(full, query_ids=(0, 10, 20), top_k=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append(
+            (r.rank, r.doc_id, r.jaccard)
+        )
+    assert set(got) == {0, 10, 20}
+    for qid, hits in got.items():
+        hits.sort()
+        ranks = [h[0] for h in hits]
+        assert ranks == list(range(1, len(hits) + 1))
+        # rank 1 = the planted mutated copy (doc_id + 1000000)
+        assert hits[0][1] == qid + 1000000
+        assert 0 < hits[0][2] <= 1.0
+        # the planted copy is strictly more similar than unrelated docs
+        assert all(hits[0][2] >= h[2] for h in hits[1:])
+        assert all(h[1] != qid for h in hits)
