@@ -27,6 +27,9 @@ SF001 = "/root/testdata/sf0.01"
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the full pipeline rolled up per predicted lang."""
+    # same tz-immunity contract as every registry gate (queries.py
+    # _tz_pinned): the driver's session inherits the host timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return _pipeline.pipeline_summary(spark, SF001)
 
 

@@ -175,13 +175,24 @@ def _latest_scaling() -> dict | None:
     except (OSError, ValueError):
         return None
     out = {k: full[k] for k in _SCALING_KEYS if k in full}
-    att = [a.get("value") for a in full.get("attempts", []) if "value" in a]
+    out["selection_policy"] = "best_of_attempts"
+    att = sorted(
+        a["value"] for a in full.get("attempts", []) if "value" in a
+    )
     if att:
         # the kept value is best-of-attempts (BASELINE.md methodology);
-        # surface the distribution so the bench line can't overclaim
-        out["n_attempts"] = len(att)
-        out["attempts_min"] = min(att)
-        out["attempts_max"] = max(att)
+        # surface the full distribution so the bench line can't
+        # overclaim: a consumer sees min/median/max and how many
+        # attempts cleared the 0.8 bar, not just the kept best
+        mid = len(att) // 2
+        med = att[mid] if len(att) % 2 else (att[mid - 1] + att[mid]) / 2
+        out["attempts_summary"] = {
+            "n": len(att),
+            "min": min(att),
+            "median": round(med, 3),
+            "max": max(att),
+            "n_ge_0.8": sum(1 for v in att if v >= 0.8),
+        }
     return out
 
 
@@ -245,6 +256,56 @@ def bench(sf_dir: str) -> dict:
         "size_scaling": _latest_size_scaling(),
         "incremental_scaling": _latest_incr_scaling(),
     }
+
+
+BENCH_DETAIL_JSON = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+)
+
+# The driver records only the TAIL of bench stdout (~2.26 KB observed:
+# BENCH_r04.json shipped `parsed: null` because the fat line outgrew
+# it). The compact line printed LAST must stay under this with margin.
+COMPACT_BUDGET = 2048
+
+
+def compact_line(full: dict) -> dict:
+    """The driver-parseable summary: full query table + docs/s +
+    acceptance F1 + registry counts + the scaling headline with its
+    honest attempt distribution. Detail blocks (size/incremental
+    scaling, per-predictor F1, run shapes) live in BENCH_DETAIL.json
+    and the three committed scaling artifacts, referenced by name."""
+    f1 = full.get("keep_drop_f1") or {}
+    sc = full.get("scaling") or {}
+    out = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": full["queries"],
+        "sf": full["sf"],
+        "n_docs": full["n_docs"],
+        "pipeline_docs_per_sec": full["pipeline_docs_per_sec"],
+        "keep_drop_f1": f1.get("acceptance_f1"),
+        "registry_queries": full["registry_queries"],
+        "registry_oracled": full["registry_oracled"],
+        "scaling": {
+            k: sc[k]
+            for k in (
+                "value", "speedup", "control_efficiency",
+                "work_conservation", "selection_policy",
+                "attempts_summary",
+            )
+            if k in sc
+        },
+        "detail": (
+            "BENCH_DETAIL.json; SCALING.json; SIZE_SCALING.json; "
+            "INCR_SCALING.json"
+        ),
+    }
+    line = json.dumps(out)
+    if len(line) > COMPACT_BUDGET:  # drop optional blocks, keep queries
+        out.pop("scaling", None)
+        out["detail"] = "BENCH_DETAIL.json"
+    return out
 
 
 def _fresh_session(cores: int, name: str):
@@ -755,6 +816,7 @@ if __name__ == "__main__":
         )
         with open(INCR_SCALING_JSON, "w") as f:
             json.dump(out, f, indent=1)
+            f.write("\n")
         print(json.dumps(out))
         sys.exit(0)
     if "--size-scaling" in sys.argv:
@@ -764,6 +826,7 @@ if __name__ == "__main__":
         )
         with open(SIZE_SCALING_JSON, "w") as f:
             json.dump(out, f, indent=1)
+            f.write("\n")
         print(json.dumps(out))
         sys.exit(0)
     if "--scaling" in sys.argv:
@@ -798,8 +861,27 @@ if __name__ == "__main__":
             else out
         )
         keep["attempts"] = history
+        keep["selection_policy"] = "best_of_attempts"
+        vals = sorted(a["value"] for a in history if "value" in a)
+        if vals:
+            mid = len(vals) // 2
+            keep["attempts_median"] = round(
+                vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2,
+                3,
+            )
         with open(SCALING_JSON, "w") as f:
             json.dump(keep, f, indent=1)
+            f.write("\n")
         print(json.dumps(out))
     else:
-        print(json.dumps(bench(sf_dir)))
+        full = bench(sf_dir)
+        full["measured_at"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+        )
+        with open(BENCH_DETAIL_JSON, "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+        # the compact line is printed LAST so the driver's stdout-tail
+        # capture always contains one complete parseable JSON line
+        print(f"detail -> {BENCH_DETAIL_JSON}")
+        print(json.dumps(compact_line(full)))

@@ -29,14 +29,20 @@ from pyspark.sql import functions as F
 from ..plans import pipeline as pl
 
 
-def _events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def _events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     schema = spark.read.parquet(events_dir).schema  # schema from footer
     # fixture ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP (LTZ) —
-    # the session TZ is pinned to UTC so the cast is value-preserving
-    return (
-        spark.readStream.schema(schema)
-        .parquet(events_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
+    # gate dispatch pins the session TZ to UTC (plans/queries.py
+    # _tz_pinned) so the cast is value-preserving in any environment
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(events_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
     )
 
 
@@ -45,12 +51,22 @@ def hourly_event_counts(
     events_dir: str,
     checkpoint: str,
     query_name: str = "hourly_counts",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Watermarked hourly windowed counts, materialized to a memory
-    sink via AvailableNow; returns the result as a batch DataFrame."""
-    ev = _events_stream(spark, events_dir)
+    sink via AvailableNow; returns the result as a batch DataFrame.
+
+    `watermark` is the late-data horizon. Gate callers pass a horizon
+    LONGER than the fixture's event-time span: AvailableNow may
+    legally split the input into several micro-batches in file-list
+    order, and any row older than (max ts seen − horizon) would be
+    silently dropped — the result must equal the batch oracle under
+    EVERY legal batch split, not just the single-batch one.
+    `max_files_per_trigger` lets tests force that multi-batch split."""
+    ev = _events_stream(spark, events_dir, max_files_per_trigger)
     agg = (
-        ev.withWatermark("ts", "1 hour")
+        ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -230,6 +246,8 @@ def weekly_distinct_sketch(
     events_dir: str,
     checkpoint: str,
     query_name: str = "weekly_hll",
+    watermark: str = "1 day",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming HLL: distinct event_id per 7-day event-time window.
 
@@ -242,14 +260,18 @@ def weekly_distinct_sketch(
     cheap batch read-off of the memory sink (streaming allows a
     single aggregation per query, and the register agg is the one
     that needs the state machinery).
+
+    `watermark`/`max_files_per_trigger` follow the hourly_event_counts
+    contract: gates pass a horizon wider than the fixture span so the
+    result is batch-split-invariant; tests force multi-batch runs.
     """
     from ..functions import sqldialect as sd
     from ..operators import hll
 
-    ev = _events_stream(spark, events_dir)
+    ev = _events_stream(spark, events_dir, max_files_per_trigger)
     bucket, rho = hll.register_fragments("event_id", sd.SPARK)
     regs = (
-        ev.withWatermark("ts", "1 day")
+        ev.withWatermark("ts", watermark)
         .selectExpr(
             "ts",
             f"CAST({bucket} AS INT) AS bucket",
@@ -278,6 +300,8 @@ def windowed_token_histogram(
     pages_dir: str,
     checkpoint: str,
     query_name: str = "token_hist",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming per-window unigram histogram over a live crawl:
     readStream → explode tokens → watermarked 5-minute windowed count
@@ -290,14 +314,15 @@ def windowed_token_histogram(
     from ..spec import hashing as H
 
     schema = spark.read.parquet(pages_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(pages_dir)
-        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(pages_dir).withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp")
     )
     toks = H.tokens_lower("text", sd.SPARK)
     hist = (
-        stream.withWatermark("warc_ts", "1 hour")
+        stream.withWatermark("warc_ts", watermark)
         .select("warc_ts", F.explode(F.expr(toks)).alias("token"))
         .where(F.col("token") != "")
         .groupBy(F.window("warc_ts", "5 minutes").alias("w"), "token")

@@ -64,3 +64,46 @@ def test_materialize_sized_models_growing_crawl(spark, tmp_path):
     ).count()
     assert emb.count() == reps * n_emb_base
     assert emb.select("vec_id").distinct().count() == reps * n_emb_base
+
+
+def test_compact_bench_line_fits_driver_tail_budget():
+    """BENCH_r04.json shipped `parsed: null`: the embedded scaling
+    blocks pushed the bench line past the driver's ~2.26 KB stdout
+    tail capture. The compact line (printed LAST by bench.py) must
+    stay under budget with the FULL query table, the acceptance F1,
+    registry counts, and the honest scaling attempt distribution."""
+    import json
+
+    import bench
+
+    full = {
+        "metric": "headline_queries_wall_sec",
+        "value": 39.0,
+        "unit": "sec",
+        # worst case: every headline query present with a wide value
+        "queries": {n: 123.456 for n in bench.HEADLINE},
+        "sf": "/root/testdata/sf0.1",
+        "n_docs": 50000,
+        "pipeline_docs_per_sec": 4296.1,
+        "keep_drop_f1": {
+            "acceptance_predictor": "trained_gd",
+            "acceptance_f1": 0.9912,
+            "per_predictor": {"trained_gd": 0.9912, "frozen_logistic": 0.97},
+        },
+        "registry_queries": 208,
+        "registry_oracled": 207,
+        "scaling": bench._latest_scaling(),
+    }
+    out = bench.compact_line(full)
+    line = json.dumps(out)
+    assert len(line) <= bench.COMPACT_BUDGET, len(line)
+    assert out["queries"] == full["queries"]
+    assert out["keep_drop_f1"] == 0.9912
+    assert out["registry_queries"] == 208
+    # the honest spread rides along (ask #6): committed SCALING.json
+    # always has attempts, so the summary must be present
+    assert out["scaling"]["selection_policy"] == "best_of_attempts"
+    s = out["scaling"]["attempts_summary"]
+    assert {"n", "min", "median", "max", "n_ge_0.8"} <= set(s)
+    # and the line parses back
+    assert json.loads(line)["scaling"]["attempts_summary"]["n"] == s["n"]

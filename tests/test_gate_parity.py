@@ -73,5 +73,34 @@ def test_rotation_self_advances_on_driver_artifacts(tmp_path):
         json.dumps({"queries": {"only_local_gate": {"hash_match": True}}})
     )
     assert "only_local_gate" not in Q._driver_seen(root=str(tmp_path))
+    # a gate the driver ran but FAILED must stay unseen (re-queued at
+    # the rotation front until the driver shows it green) — the r4
+    # hll_distinct_stream case; rows-only gates retire on a clean
+    # rows record
+    (tmp_path / "CORRECTNESS_r99.json").write_text(
+        json.dumps({"queries": {
+            "failed_gate": {
+                "rows_match": True, "schema_match": True,
+                "hash_match": False, "spark_rows": 5, "oracle_rows": 5,
+                "err": None,
+            },
+            "errored_gate": {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": None,
+                "oracle_rows": None, "err": "spark: boom",
+            },
+            "rows_only_gate": {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": 500,
+                "oracle_rows": None, "err": "no_oracle",
+            },
+        }})
+    )
+    seen99 = Q._driver_seen(root=str(tmp_path))
+    assert "failed_gate" not in seen99
+    assert "errored_gate" not in seen99
+    assert "rows_only_gate" in seen99
+    # the real repo root: r4's hash-FAIL re-queues at the very front
+    assert list(Q.queries().keys())[0] == "hll_distinct_stream"
     # and the live registry (no new artifact in the real root) is stable
     assert list(Q.queries().keys()) == before

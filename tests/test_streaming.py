@@ -600,3 +600,115 @@ def test_stream_replay_dedup_on_mixed_batch_stream_table(spark, tmp_path):
     ]
     assert len(pairs) == len(set(pairs))  # unique per (ds, batch)
     assert man.count() == n_batch_manifest + len(pairs)
+
+
+def test_gate_streams_stable_under_forced_multi_batch(spark, tmp_path):
+    """AvailableNow may legally split the source into several
+    micro-batches in file-list order (the r4-verdict fragility class):
+    with the input spread over many files and maxFilesPerTrigger=1
+    forced, the watermark advances BETWEEN batches, and any row older
+    than (max ts seen − horizon) would be silently dropped. The gate
+    streams' horizons exceed the fixture's event-time span, so the
+    multi-batch result must equal the single-batch result exactly —
+    for the windowed agg, the HLL register sketch, and the token
+    histogram."""
+    from fineweb_modal_spark.sources.tables import table_path
+
+    # events spread over 8 files, each spanning the full 30 days
+    # (hash-partitioned ⇒ every batch carries both old and new rows —
+    # the adversarial order for a short watermark)
+    events_dir = str(tmp_path / "events")
+    spark.read.parquet(table_path(SF, "events")).repartition(8).write.parquet(
+        events_dir
+    )
+
+    single = incremental.hourly_event_counts(
+        spark, events_dir, str(tmp_path / "ck_h1"),
+        query_name="mb_hourly_1", watermark="90 days",
+    )
+    multi = incremental.hourly_event_counts(
+        spark, events_dir, str(tmp_path / "ck_hN"),
+        query_name="mb_hourly_n", watermark="90 days",
+        max_files_per_trigger=1,
+    )
+    assert single.count() == multi.count()
+    assert single.exceptAll(multi).count() == 0
+
+    hll_single = incremental.weekly_distinct_sketch(
+        spark, events_dir, str(tmp_path / "ck_w1"),
+        query_name="mb_hll_1", watermark="90 days",
+    ).collect()
+    hll_multi = incremental.weekly_distinct_sketch(
+        spark, events_dir, str(tmp_path / "ck_wN"),
+        query_name="mb_hll_n", watermark="90 days",
+        max_files_per_trigger=1,
+    ).collect()
+    assert sorted(map(tuple, hll_single)) == sorted(map(tuple, hll_multi))
+
+    pages_dir = str(tmp_path / "pages")
+    pages_mod.load_pages(spark, SF, with_html=False).repartition(
+        6
+    ).write.parquet(pages_dir)
+    th_single = incremental.windowed_token_histogram(
+        spark, pages_dir, str(tmp_path / "ck_t1"),
+        query_name="mb_tok_1", watermark="30 days",
+    )
+    th_multi = incremental.windowed_token_histogram(
+        spark, pages_dir, str(tmp_path / "ck_tN"),
+        query_name="mb_tok_n", watermark="30 days",
+        max_files_per_trigger=1,
+    )
+    assert th_single.count() == th_multi.count()
+    assert th_single.exceptAll(th_multi).count() == 0
+
+
+def test_complete_mode_admits_late_rows_regardless_of_watermark(
+    spark, tmp_path
+):
+    """Pin the mechanism behind the gates' split-invariance: in
+    COMPLETE output mode the watermark never filters late input (it
+    only bounds state eviction, which complete mode disables) — so
+    even the most adversarial batch order (reverse-chronological
+    one-file batches: after batch 0 the watermark sits 1 day behind
+    the global max and every later row is 'late') with the ORIGINAL
+    narrow 1-day horizon still equals the wide-horizon result.
+    Measured, not assumed (the r4 verdict flagged this as a possible
+    silent-drop path; empirically complete mode is already safe — the
+    widened gate horizons are defense-in-depth for any future switch
+    to update/append sinks, which DO drop late rows)."""
+    import os
+
+    from fineweb_modal_spark.sources.tables import table_path
+
+    ev = spark.read.parquet(table_path(SF, "events"))
+    weeks = ev.selectExpr(
+        "*",
+        "CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) /"
+        " (7*86400*1000000.0)) AS LONG) AS wk",
+    )
+    wks = sorted(r.wk for r in weeks.select("wk").distinct().collect())
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    # newest week FIRST in file-listing order → every later batch is
+    # entirely behind the watermark a narrow horizon would set
+    for i, wk in enumerate(reversed(wks)):
+        d = str(tmp_path / f"w{i}")
+        weeks.where(F.col("wk") == wk).drop("wk").coalesce(1).write.parquet(d)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(d, f), os.path.join(flat, f"{i:02d}.parquet")
+                )
+
+    wide = incremental.weekly_distinct_sketch(
+        spark, flat, str(tmp_path / "ck_wide"),
+        query_name="nc_wide", watermark="90 days",
+        max_files_per_trigger=1,
+    ).collect()
+    narrow = incremental.weekly_distinct_sketch(
+        spark, flat, str(tmp_path / "ck_narrow"),
+        query_name="nc_narrow", watermark="1 day",
+        max_files_per_trigger=1,
+    ).collect()
+    assert len(wide) == len(wks)
+    assert sorted(map(tuple, wide)) == sorted(map(tuple, narrow))

@@ -8,6 +8,12 @@ driver runs.
 
 Usage: python tools/compare_oracle.py [sf_dir] [query ...]
        python tools/compare_oracle.py --json OUT.json [sf_dir]
+       python tools/compare_oracle.py --tz America/New_York [sf_dir]
+
+--tz simulates a driver whose session inherits a non-UTC host
+timezone (the r4 `hll_distinct_stream` hash-FAIL environment): the
+session timeZone is set to TZ before any gate runs; the registry's
+_tz_pinned dispatch must keep every gate hash-green regardless.
 
 --json additionally writes the full sweep in the driver's
 CORRECTNESS_r{N}.json schema ({name: {rows_match, schema_match,
@@ -73,12 +79,17 @@ def run(
     sf_dir: str,
     only: list[str] | None = None,
     json_out: str | None = None,
+    session_tz: str | None = None,
 ) -> bool:
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
     from fineweb_modal_spark.session import get_spark
 
     spark = get_spark()
+    if session_tz:
+        # hostile-driver simulation: the gates themselves must re-pin
+        spark.conf.set("spark.sql.session.timeZone", session_tz)
+        print(f"session timeZone set to {session_tz} (gates must re-pin)")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
@@ -110,6 +121,15 @@ def run(
             }
             continue
         sfp = frame_fingerprint(scols, srows)
+        # tz-audit trail: which gates emit temporal columns (these are
+        # the ones whose rendering depends on the session timezone —
+        # the r4 hll_distinct_stream failure class)
+        temporal = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in sdf.schema.fields
+            if "timestamp" in f.dataType.simpleString()
+            or f.dataType.simpleString() == "date"
+        ]
         arrayish = any(
             isinstance(c, (list, tuple, np.ndarray))
             for r in srows[:5]
@@ -127,6 +147,8 @@ def run(
                 "hash_match": None, "spark_rows": sfp[0],
                 "oracle_rows": None, "err": "no_oracle",
             }
+            if temporal:
+                record[name]["temporal_cols"] = temporal
             continue
         try:
             # Fetch through pandas like the driver does, so DuckDB
@@ -155,6 +177,8 @@ def run(
             "oracle_rows": ofp[0],
             "err": None,
         }
+        if temporal:
+            record[name]["temporal_cols"] = temporal
         print(
             f"{name:36s} {status} spark(rows={sfp[0]},h={sfp[2]}) duck(rows={ofp[0]},h={ofp[2]})"
         )
@@ -177,9 +201,15 @@ def run(
 if __name__ == "__main__":
     args = sys.argv[1:]
     json_out = None
-    if args and args[0] == "--json":
-        json_out = args[1]
+    session_tz = None
+    while args and args[0] in ("--json", "--tz"):
+        if args[0] == "--json":
+            json_out = args[1]
+        else:
+            session_tz = args[1]
         args = args[2:]
     sf = args[0] if args else "/root/testdata/sf0.01"
     names = args[1:] or None
-    sys.exit(0 if run(sf, names, json_out=json_out) else 1)
+    sys.exit(
+        0 if run(sf, names, json_out=json_out, session_tz=session_tz) else 1
+    )
