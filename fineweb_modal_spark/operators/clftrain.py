@@ -15,16 +15,22 @@ plays the judge):
 
   each GD step = ONE aggregate over the z-scored frame (6 avg's,
   map-side partial + 1-row final), collected to the driver (6
-  doubles), folded into literal weights for the next pass. K passes
+  doubles), folded into literal weights for the next pass — with
+  heavy-ball momentum applied driver-side (v ← β·v − η·g, w ← w + v;
+  β adds no distributed work, just 6 more driver doubles). K passes
   over the data total — the execution shape of MLlib's full-batch
   LogisticRegression, minus the black box, so the DuckDB oracle can
   replay the whole trajectory (stats CTE + K gradient/weight CTE
-  pairs) and hash-match the trained weights.
+  pairs, each weight CTE carrying (w, v) side by side) and
+  hash-match the trained weights.
 
 Scale: per-step shuffle is 6 doubles/partition; train() persists the
-feature frame for the K+1 passes. Measured on the sf0.01 judge
-labels: 10 steps at eta=2 reach 98.4% training agreement vs the
-90.6% always-keep baseline.
+feature frame for the K+1 passes. Measured on the judge labels:
+30 momentum steps at eta=2/beta=0.9 reach keep/drop F1 = 1.0 vs the
+judge on both the sf0.01 and sf0.1 fixtures (plain 10-step GD:
+0.9912 / 0.9879 — under-converged on the ill-conditioned rule
+conjunction), with min |decision margin| ≥ 0.08, far above
+cross-engine float noise.
 """
 
 from __future__ import annotations
@@ -37,7 +43,15 @@ from pyspark.sql import functions as F
 from . import quality
 
 ETA = 2.0  # step size for z-scored features
-K_STEPS = 10
+K_STEPS = 30
+# Heavy-ball momentum: v ← β·v − η·∇, w ← w + v. Full-batch GD on
+# this ill-conditioned 5-feature problem needs hundreds of plain
+# steps to separate the judge's rule conjunction; with β=0.9 the
+# same trajectory reaches F1=1.0 vs the judge at 30 steps on both
+# the sf0.01 and sf0.1 fixtures (min decision margin ≥ 0.08 —
+# far above cross-engine float noise, so the hash gate is safe).
+# Replayable in SQL: the weight CTEs carry (w, v) side by side.
+MOMENTUM = 0.9
 
 # (name, expression over the signal columns) — identical text renders
 # in both engines.
@@ -107,12 +121,20 @@ def _margin(w: list[float]) -> F.Column:
     return m
 
 
-def _gd_loop(train_frame: DataFrame, steps: int, eta: float) -> list[float]:
-    """`steps` full-batch GD steps from 0 over a z-scored frame.
+def _gd_loop(
+    train_frame: DataFrame,
+    steps: int,
+    eta: float,
+    beta: float = MOMENTUM,
+) -> list[float]:
+    """`steps` full-batch heavy-ball GD steps from 0 over a z-scored
+    frame.
 
-    grad_j = avg((sigmoid(w·x) - y) * x_j); w ← w - eta * grad.
-    Only the 6-double gradient ever reaches the driver."""
+    grad_j = avg((sigmoid(w·x) - y) * x_j); v ← beta·v - eta·grad;
+    w ← w + v. Only the 6-double gradient ever reaches the driver;
+    the velocity state lives driver-side like the weights."""
     w = [0.0] * (len(_FN) + 1)
+    v = [0.0] * (len(_FN) + 1)
     for _ in range(steps):
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w)))
         err = p - F.col("y")
@@ -120,7 +142,8 @@ def _gd_loop(train_frame: DataFrame, steps: int, eta: float) -> list[float]:
             F.avg(err * F.col(n)).alias(f"g{i+1}") for i, n in enumerate(_FN)
         ]
         g = train_frame.agg(*aggs).collect()[0]
-        w = [w[j] - eta * g[j] for j in range(len(w))]
+        v = [beta * v[j] - eta * g[j] for j in range(len(w))]
+        w = [w[j] + v[j] for j in range(len(w))]
     return w
 
 
@@ -200,14 +223,25 @@ def _train_ctes(
         split_out = "feat.split, "
         st_from = "feat WHERE split = 'train'"
         g_where = " WHERE featz.split = 'train'"
+    # AS MATERIALIZED (DuckDB-only dialect — this chain never runs on
+    # Spark): every w{k} is referenced twice (by g{k+1} and w{k+1}),
+    # so an inlining planner would duplicate the whole sub-tree per
+    # step — 2^K scans of the corpus. Materializing each 1-row weight
+    # CTE keeps the replay linear in K.
     ctes = [
-        f"""feat AS (
+        f"""feat AS MATERIALIZED (
   SELECT {split_col}CAST(k.keep AS DOUBLE) AS y, {fcols}
   FROM ({sig}) s JOIN ({keep}) k ON s.doc_id = k.doc_id)""",
-        f"st AS (SELECT {stat_sel} FROM {st_from})",
-        f"featz AS (SELECT {split_out}feat.y, {zcols} FROM feat, st)",
-        "w0 AS (SELECT " + ", ".join(f"0.0 AS {c}" for c in _W) + ")",
+        f"st AS MATERIALIZED (SELECT {stat_sel} FROM {st_from})",
+        f"featz AS MATERIALIZED "
+        f"(SELECT {split_out}feat.y, {zcols} FROM feat, st)",
+        "w0 AS MATERIALIZED (SELECT "
+        + ", ".join(f"0.0 AS {c}" for c in _W)
+        + ", "
+        + ", ".join(f"0.0 AS v{c}" for c in _W)
+        + ")",
     ]
+    beta = MOMENTUM
     for k in range(1, steps + 1):
         prev = f"w{k-1}"
         p = f"(1.0 / (1.0 + exp(-({_margin_sql(prev)}))))"
@@ -216,13 +250,21 @@ def _train_ctes(
             for i, n in enumerate(_FN)
         ]
         ctes.append(
-            f"g{k} AS (SELECT {', '.join(gsel)} FROM featz, {prev}{g_where})"
+            f"g{k} AS MATERIALIZED (SELECT {', '.join(gsel)} FROM featz, {prev}{g_where})"
         )
-        wsel = [f"{prev}.b - {eta} * g{k}.gb AS b"] + [
-            f"{prev}.w{i+1} - {eta} * g{k}.g{i+1} AS w{i+1}"
-            for i in range(len(_FN))
+        # heavy-ball: v_k = beta*v_{k-1} - eta*g_k; w_k = w_{k-1} + v_k
+        # (the velocity expression is repeated verbatim in the weight
+        # column because neither dialect lets a SELECT reference a
+        # sibling alias)
+        gnames = ["gb"] + [f"g{i+1}" for i in range(len(_FN))]
+        vexpr = {
+            c: f"{beta} * {prev}.v{c} - {eta} * g{k}.{gn}"
+            for c, gn in zip(_W, gnames)
+        }
+        wsel = [f"{prev}.{c} + ({vexpr[c]}) AS {c}" for c in _W] + [
+            f"{vexpr[c]} AS v{c}" for c in _W
         ]
-        ctes.append(f"w{k} AS (SELECT {', '.join(wsel)} FROM {prev}, g{k})")
+        ctes.append(f"w{k} AS MATERIALIZED (SELECT {', '.join(wsel)} FROM {prev}, g{k})")
     return ctes, f"w{steps}"
 
 
@@ -363,7 +405,8 @@ def save_model(
         "feature string, mu double, sd double",
     ).write.mode("overwrite").parquet(f"{p}/stats")
     spark.createDataFrame(
-        [(K_STEPS, ETA, len(_FN))], "steps int, eta double, n_features int"
+        [(K_STEPS, ETA, MOMENTUM, len(_FN))],
+        "steps int, eta double, momentum double, n_features int",
     ).write.mode("overwrite").parquet(f"{p}/meta")
 
 
