@@ -290,9 +290,12 @@ def compact_line(full: dict) -> dict:
         "scaling": {
             k: sc[k]
             for k in (
-                "value", "speedup", "control_efficiency",
-                "work_conservation", "selection_policy",
-                "attempts_summary",
+                # lo_cores/hi_cores + runs = throughput at BOTH
+                # parallelism levels (the north rule's two-cluster-size
+                # evidence), not just the efficiency ratio
+                "value", "lo_cores", "hi_cores", "runs", "speedup",
+                "control_efficiency", "work_conservation",
+                "selection_policy", "attempts_summary",
             )
             if k in sc
         },
