@@ -5759,5 +5759,37 @@ def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators import bpetrain as bpetrain_op  # noqa: E402
+
+
+@register("bpe_learn_merges", bpetrain_op.merges_oracle_sql(D))
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine BPE tokenizer-merge training (Sennrich et al.): the
+    learned merge table (rank, pair, merged, cnt) after K=24 rounds
+    over the corpus word-frequency relation — the artifact a subword
+    tokenizer ships, learned where the data lives instead of in a
+    separate single-node pass (the reference consumes a pre-trained
+    HF tokenizer, chunker.py:76; this is its upstream step). ONE
+    corpus-scale explode+groupBy(word) shuffle; every merge round is
+    an aggregate over the VOCAB-sized relation + a 1-row collect
+    (corpus-size-independent — the clftrain GD-loop shape). The
+    oracle replays the trajectory as a MATERIALIZED CTE chain with
+    the same space-doubling replace, so merge application is
+    left-to-right non-overlapping in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpetrain_op.merges_report(spark, docs)
+
+
+@register("bpe_vocab", bpetrain_op.vocab_oracle_sql(D))
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol inventory AFTER the K=24 learned merges (symbol,
+    n_words, occurrences) — the vocab a tokenizer build emits next to
+    its merge table; frequency-weighted so coverage is auditable.
+    Same trajectory as bpe_learn_merges; the report is one explode +
+    group over the vocab-sized final relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpetrain_op.vocab_report(docs)
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401
