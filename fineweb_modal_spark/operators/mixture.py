@@ -123,3 +123,116 @@ expanded AS (
 SELECT doc_id, source, CAST(unnest({seq}) AS BIGINT) AS copy_id
 FROM expanded WHERE n_copies > 0
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Temperature sampling: multilingual rebalancing (XLM-R / mC4 alpha)
+# ---------------------------------------------------------------------------
+
+# p_l^alpha renormalization (Conneau et al. 2020, arXiv:1911.02116).
+# The per-language keep rate reduces to r_l = (n_l / n_min)^(alpha-1):
+# the corpus total cancels, the RAREST language keeps 100%, and every
+# higher-resource language is down-sampled toward the temperature
+# share. alpha=1 is proportional (no-op); alpha->0 is uniform.
+TEMP_ALPHA = 0.3
+
+
+def temp_coin_expr(d: str, id_col: str = "doc_id") -> str:
+    """Distinct salt so temperature sampling composes with
+    mixture_sample ('mix:') and split.py sharding without
+    correlation."""
+    cast = "STRING" if d == S else "VARCHAR"
+    h = H.md5_i64(f"'temp:' || CAST({id_col} AS {cast})", d)
+    return f"({h}) % {MIX_DEN}"
+
+
+def temperature_rates(
+    docs: DataFrame, alpha: float = TEMP_ALPHA, lang_col: str = "lang"
+) -> DataFrame:
+    """(lang, n_docs, rate_num): integer per-mille keep rates from
+    the temperature rule. One partial-agg shuffle over ≤|langs|
+    groups; n_min via an unpartitioned window over the LANG relation
+    (|langs| rows — never the corpus)."""
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(lang_col).agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy()
+    return counts.withColumn(
+        "rate_num",
+        F.round(
+            F.lit(MIX_DEN)
+            * F.pow(
+                F.col("n_docs") / F.min("n_docs").over(w),
+                F.lit(alpha - 1.0),
+            )
+        ).cast("int"),
+    )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    alpha: float = TEMP_ALPHA,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Down-sample each language to its temperature share with the
+    deterministic md5 coin — broadcast rates join, row-local coin,
+    zero corpus shuffle beyond the tiny counts agg."""
+    rates = temperature_rates(docs, alpha=alpha, lang_col=lang_col)
+    coined = docs.withColumn("__coin", F.expr(temp_coin_expr(S, id_col)))
+    return (
+        coined.join(
+            F.broadcast(rates.select(lang_col, "rate_num")), lang_col
+        )
+        .where(F.col("__coin") < F.col("rate_num"))
+        .drop("__coin", "rate_num")
+    )
+
+
+def temperature_report(
+    docs: DataFrame, alpha: float = TEMP_ALPHA, lang_col: str = "lang"
+) -> DataFrame:
+    """Gate frame: (lang, n_docs, rate_num, n_kept) — the rebalancing
+    audit row a curator reads before committing an alpha."""
+    rates = temperature_rates(docs, alpha=alpha, lang_col=lang_col)
+    kept = (
+        temperature_sample(docs, alpha=alpha, lang_col=lang_col)
+        .groupBy(lang_col)
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return rates.join(kept, lang_col, "left").select(
+        lang_col,
+        "n_docs",
+        "rate_num",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
+def temperature_oracle_sql(
+    d: str,
+    alpha: float = TEMP_ALPHA,
+    table: str = "documents",
+    lang_col: str = "lang",
+) -> str:
+    coin = temp_coin_expr(d)
+    return f"""
+WITH counts AS (
+  SELECT {lang_col} AS lang, count(*) AS n_docs FROM {table} GROUP BY {lang_col}
+),
+rates AS (
+  SELECT lang, n_docs,
+         CAST(round({MIX_DEN} * power(
+           CAST(n_docs AS DOUBLE) / MIN(n_docs) OVER (), {alpha} - 1.0
+         )) AS INT) AS rate_num
+  FROM counts
+),
+kept AS (
+  SELECT d.{lang_col} AS lang, count(*) AS n_kept
+  FROM {table} d JOIN rates r ON d.{lang_col} = r.lang
+  WHERE ({coin}) < r.rate_num
+  GROUP BY d.{lang_col}
+)
+SELECT r.lang AS lang, r.n_docs, r.rate_num,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+""".strip()

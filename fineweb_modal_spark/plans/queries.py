@@ -5791,5 +5791,19 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpetrain_op.vocab_report(docs)
 
 
+@register("lang_temperature_sample", mixture_op.temperature_oracle_sql(D))
+def q_lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual temperature rebalancing (XLM-R/mC4 p^alpha,
+    arXiv:1911.02116): per-language keep rate
+    (n_l/n_min)^(alpha-1) — the rarest language keeps 100%, every
+    higher-resource language down-samples toward the temperature
+    share — applied with a salted deterministic md5 coin. Gate emits
+    the audit row (lang, n_docs, rate_num, n_kept). Cost shape: one
+    ≤|langs|-group counts agg, rates broadcast back, row-local coin —
+    zero corpus shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_op.temperature_report(docs)
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401

@@ -1007,3 +1007,35 @@ def test_similar_to_doc_finds_planted_neighbor(spark):
         # the planted copy is strictly more similar than unrelated docs
         assert all(hits[0][2] >= h[2] for h in hits[1:])
         assert all(h[1] != qid for h in hits)
+
+
+def test_temperature_sampling_rates_and_determinism(spark):
+    """Temperature rule (XLM-R alpha): rarest language keeps 1000
+    permille, higher-resource languages get (n/n_min)^(alpha-1);
+    alpha=1 is a no-op; the coin is deterministic across runs."""
+    from fineweb_modal_spark.operators import mixture
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 800 else ("de" if i < 960 else "sw"))
+         for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    rates = {
+        r["lang"]: r["rate_num"]
+        for r in mixture.temperature_rates(docs, alpha=0.3).collect()
+    }
+    assert rates["sw"] == 1000  # rarest keeps everything
+    assert rates["de"] == round(1000 * (160 / 40) ** (0.3 - 1.0))
+    assert rates["en"] == round(1000 * (800 / 40) ** (0.3 - 1.0))
+    # alpha=1: every rate 1000, sample is the identity
+    one = mixture.temperature_rates(docs, alpha=1.0).collect()
+    assert all(r["rate_num"] == 1000 for r in one)
+    assert mixture.temperature_sample(docs, alpha=1.0).count() == 1000
+    # determinism: two runs keep the same ids
+    a = {r["doc_id"] for r in mixture.temperature_sample(docs).collect()}
+    b = {r["doc_id"] for r in mixture.temperature_sample(docs).collect()}
+    assert a == b
+    # down-sampling monotone: en keeps a smaller fraction than de
+    n_en = sum(1 for i in a if i < 800)
+    n_de = sum(1 for i in a if 800 <= i < 960)
+    assert n_en / 800 < n_de / 160 <= 1.0
