@@ -81,16 +81,20 @@ def _seq0_sql(word: str, d: str) -> str:
 
 
 def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(seq, n): initial symbol sequence per distinct word + corpus
-    frequency. One explode + one groupBy(word) shuffle (map-side
-    partial agg); everything downstream is vocab-sized."""
+    """(word, seq, n): initial symbol sequence per distinct word +
+    corpus frequency. One explode + one groupBy(word) shuffle
+    (map-side partial agg); everything downstream is vocab-sized.
+    `word` rides along untouched so the final segmentation can be
+    joined back to the corpus as a broadcast dimension."""
     toks = H.tokens_lower(text_col, SPARK)
     return (
         docs.select(F.explode(F.expr(toks)).alias("word"))
         .where(F.col("word").rlike(WORD_RE))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
-        .select(F.expr(_seq0_sql("word", SPARK)).alias("seq"), "n")
+        .select(
+            "word", F.expr(_seq0_sql("word", SPARK)).alias("seq"), "n"
+        )
     )
 
 
@@ -103,7 +107,7 @@ def _word_freqs_sql(d: str, table: str, text_col: str) -> str:
         match = f"regexp_matches(word, '{WORD_RE}')"
         ex = f"SELECT unnest({toks}) AS word FROM {table}"
     return (
-        f"SELECT {_seq0_sql('word', d)} AS seq, n FROM ("
+        f"SELECT word, {_seq0_sql('word', d)} AS seq, n FROM ("
         f"SELECT word, count(*) AS n FROM ({ex}) WHERE {match} "
         f"GROUP BY word)"
     )
@@ -169,7 +173,9 @@ def learn_merges(
             pair, cnt = top[0]["pair"], int(top[0]["cnt"])
             merges.append((pair, cnt))
             cur = cur.select(
-                _apply_merge_expr(F.col("seq"), pair).alias("seq"), "n"
+                "word",
+                _apply_merge_expr(F.col("seq"), pair).alias("seq"),
+                "n",
             )
         return merges, cur
     finally:
@@ -254,7 +260,7 @@ def _merge_ctes(
             f"ORDER BY cnt DESC, pair ASC LIMIT 1)"
         )
         ctes.append(
-            f"w{i} AS MATERIALIZED (SELECT "
+            f"w{i} AS MATERIALIZED (SELECT word, "
             f"{_apply_merge_sql(f'm{i}')} AS seq, n FROM w{i-1})"
         )
     return ctes, f"w{k}"
@@ -290,6 +296,92 @@ SELECT s.symbol AS symbol, count(*) AS n_words,
        CAST(sum(n) AS BIGINT) AS occurrences
 FROM {wk}, unnest(string_split(seq, ' ')) AS s(symbol)
 GROUP BY s.symbol"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Apply: tokenize the corpus under the learned merges
+# ---------------------------------------------------------------------------
+
+
+def tokenize_stats(
+    docs: DataFrame, k: int = K_MERGES, text_col: str = "text"
+) -> DataFrame:
+    """Per-source subword compression report under the learned
+    merges: (source, n_words, n_symbols_char, n_symbols_bpe,
+    compression_ppm).
+
+    Scale shape — the reason BPE APPLICATION is cheap at 10^12 docs:
+    segmentation is computed once per DISTINCT word (the vocab-sized
+    relation the trainer already holds), then the corpus pays one
+    broadcast join from its exploded words to that dimension. The
+    before/after symbol counts are integers, so the ppm division is
+    the only float op (identical exact-int operands in both
+    engines)."""
+    _, final = learn_merges(docs, k=k, text_col=text_col)
+    dim = final.select(
+        "word",
+        (F.length("word") + F.lit(1)).alias("n_char"),
+        F.size(F.split(F.col("seq"), " ")).alias("n_bpe"),
+    )
+    toks = H.tokens_lower(text_col, SPARK)
+    words = docs.select(
+        "source", F.explode(F.expr(toks)).alias("word")
+    ).where(F.col("word").rlike(WORD_RE))
+    return (
+        words.join(F.broadcast(dim), "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_char").alias("n_symbols_char"),
+            F.sum("n_bpe").alias("n_symbols_bpe"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_symbols_char",
+            "n_symbols_bpe",
+            F.round(
+                F.lit(1000000.0)
+                * F.col("n_symbols_bpe")
+                / F.col("n_symbols_char")
+            )
+            .cast("bigint")
+            .alias("compression_ppm"),
+        )
+    )
+
+
+def tokenize_stats_oracle_sql(
+    d: str,
+    k: int = K_MERGES,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    ctes, wk = _merge_ctes(d, k, table, text_col)
+    toks = H.tokens_lower(text_col, d)
+    ctes.append(
+        f"""dim AS MATERIALIZED (
+  SELECT word, length(word) + 1 AS n_char,
+         len(string_split(seq, ' ')) AS n_bpe FROM {wk})"""
+    )
+    ctes.append(
+        f"""corpus_words AS (
+  SELECT source, word FROM (
+    SELECT source, unnest({toks}) AS word FROM {table})
+  WHERE regexp_matches(word, '{WORD_RE}'))"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT w.source AS source, count(*) AS n_words,
+       CAST(sum(d.n_char) AS BIGINT) AS n_symbols_char,
+       CAST(sum(d.n_bpe) AS BIGINT) AS n_symbols_bpe,
+       CAST(round(1000000.0 * sum(d.n_bpe) / sum(d.n_char)) AS BIGINT)
+         AS compression_ppm
+FROM corpus_words w JOIN dim d ON w.word = d.word
+GROUP BY w.source"""
     )
 
 

@@ -5791,6 +5791,18 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpetrain_op.vocab_report(docs)
 
 
+@register("bpe_tokenize_stats", bpetrain_op.tokenize_stats_oracle_sql(D))
+def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned tokenizer APPLIED: per-source subword compression
+    (n_words, char-level vs post-merge symbol counts, ppm ratio).
+    Segmentation is computed once per DISTINCT word on the
+    vocab-sized relation, then the corpus pays ONE broadcast join —
+    the shape that keeps BPE application corpus-scale-cheap at 10^12
+    docs. Train→apply in one gate, like the LM/DSIR lifecycles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpetrain_op.tokenize_stats(docs)
+
+
 @register("lang_temperature_sample", mixture_op.temperature_oracle_sql(D))
 def q_lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multilingual temperature rebalancing (XLM-R/mC4 p^alpha,

@@ -114,3 +114,21 @@ def test_gate_parity_toy(spark, docs):
     ).fetchdf().sort_values("rank").reset_index(drop=True)
     assert got["pair"].tolist() == want["pair"].tolist()
     assert got["cnt"].tolist() == [int(c) for c in want["cnt"]]
+
+
+def test_tokenize_stats_compression(spark):
+    """Applying the learned merges must never EXPAND a word (each
+    merge strictly reduces symbol count), and repeated words compress
+    hardest: the report's bpe symbol total is <= the char total, and
+    the per-word dim agrees with a hand segmentation."""
+    docs = spark.createDataFrame(
+        [(0, "s0", "banana banana banana apple"),
+         (1, "s1", "banana apple apple")],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["source"]: r for r in B.tokenize_stats(docs, k=6).collect()}
+    for r in rows.values():
+        assert r["n_symbols_bpe"] <= r["n_symbols_char"]
+        assert 0 < r["compression_ppm"] <= 1000000
+    # 7 words in s0-corpus: banana=4, apple=3 across both sources
+    assert rows["s0"]["n_words"] == 4 and rows["s1"]["n_words"] == 3
