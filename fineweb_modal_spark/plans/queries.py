@@ -5817,5 +5817,79 @@ def q_lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_op.temperature_report(docs)
 
 
+from ..operators import encodingfix as encfix_op  # noqa: E402
+from ..operators import seqpack as seqpack_op  # noqa: E402
+
+
+@register("pack_sequences", seqpack_op.layout_oracle_sql())
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk training layout: every doc's packed
+    coordinates (start token offset, first/last sequence id, boundary
+    crossings) for a fixed 2048-token context, one independent stream
+    per source shard. Pure window arithmetic — exactly reproducible
+    by ANSI SQL — while the production path is the two-phase
+    distributed prefix sum (`sequence_layout_distributed`, equality
+    pytest-enforced) that never global-sorts. The step the reference
+    leaves to a downstream trainer; here it runs where the data lives."""
+    docs = load_table(spark, sf_dir, "documents")
+    return seqpack_op.sequence_layout(docs)
+
+
+@register("pack_sequences_stats", seqpack_op.stats_oracle_sql())
+def q_pack_sequences_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-shard report for the packed layout:
+    sequence count, docs crossing a boundary, tail padding and fill
+    ratio — what a tokenization job logs per output shard. One window
+    pass + one ≤|sources|-group aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return seqpack_op.pack_stats(docs)
+
+
+@register(
+    "pack_sequences_incremental",
+    seqpack_op.incremental_oracle_sql(split_doc_id=250),
+)
+def q_pack_sequences_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental shard append: a new crawl batch (doc_id ≥ 250)
+    continues each source's token stream at the STORED per-source
+    total (|sources|-row broadcast state — the packed corpus is never
+    re-read), and the oracle is the FULL repack filtered to the new
+    docs: incremental must be indistinguishable from repacking
+    everything. Same delta-vs-stored-index shape as LSH admission,
+    IVF assignment and DSIR scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    prior = seqpack_op.source_totals(docs.where(F.col("doc_id") < 250))
+    return seqpack_op.sequence_layout_incremental(
+        docs.where(F.col("doc_id") >= 250), prior
+    )
+
+
+@register(
+    "pack_hydrate_sequence", seqpack_op.hydrate_oracle_sql(seq_id=1)
+)
+def q_pack_hydrate_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer-side read path: which doc slices compose training
+    sequence #1 of every source shard (token range within each doc +
+    position within the sequence). At scale the layout relation is
+    pruned by (seq_first, seq_last) so one sequence costs
+    O(docs-in-sequence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return seqpack_op.hydrate_sequence(docs, seq_id=1)
+
+
+@register("encoding_anomaly_report", encfix_op.report_oracle_sql())
+def q_encoding_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake / U+FFFD / C1-stray detection + deterministic repair
+    over a deterministically-corrupted fixture (doc_id modulus, same
+    `replace` in both dialects): per-source damage counts and the
+    repair char delta. All replace/length arithmetic — whole-stage
+    codegen, zero Python, zero shuffle before the final ≤|sources|
+    aggregate, so the stage is one-scan-cheap at crawl scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return encfix_op.anomaly_report(docs)
+
+
 # Extended TPC-H suite (q4–q22) registers itself on import — keep last.
 from . import tpch  # noqa: E402,F401
