@@ -61,6 +61,8 @@ HEADLINE = [
     "tpch_q18_large_volume_customer",  # agg-filtered semi join + top-100
     "crawl_scan_extract",  # WARC gz scan (task/shard) + html->text, fixture untimed
     "cdx_build",  # CDX member-span index build, one streaming pass/shard
+    "pack_sequences_stats",  # training-shard layout: window prefix sums + agg
+    "encoding_anomaly_report",  # mojibake/U+FFFD detect+repair, codegen replace
 ]
 
 
