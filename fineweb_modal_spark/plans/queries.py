@@ -108,6 +108,12 @@ _ROTATION_PRIORITY = [
     "tpch_q17_small_quantity", "tpch_q18_large_volume_customer",
     "tpch_q19_discounted_revenue", "tpch_q20_part_promotion",
     "tpch_q22_sales_opportunity",
+    # round-5 additions (sequence-packing lifecycle + encoding repair):
+    # newest code gets driver validation while older never-seen gates
+    # remain covered by the committed full-registry sweep
+    "pack_sequences", "pack_sequences_stats",
+    "pack_sequences_incremental", "pack_hydrate_sequence",
+    "encoding_anomaly_report",
 ]
 
 
