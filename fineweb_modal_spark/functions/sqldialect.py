@@ -104,6 +104,19 @@ def dbl(e: str, d: str) -> str:
     return f"CAST({e} AS DOUBLE)"
 
 
+def occ_count(col: str, needle_sql: str, needle_len: int, d: str) -> str:
+    """Non-overlapping occurrence count of a constant needle via
+    replace/length arithmetic, integer-typed in BOTH dialects
+    (DuckDB `/` promotes to DOUBLE, so it gets `//`; Spark gets an
+    explicit BIGINT cast). `needle_sql` is an already-rendered SQL
+    expression for the needle (e.g. a chr() concat). Single-sources
+    the div/cast convention that scrub/gopher/langid render inline."""
+    delta = f"(length({col}) - length(replace({col}, {needle_sql}, '')))"
+    if d == SPARK:
+        return f"CAST({delta} / {needle_len} AS BIGINT)"
+    return f"{delta} // {needle_len}"
+
+
 def round6(e: str) -> str:
     """Round doubles before hash comparison (float-order tolerance)."""
     return f"round({e}, 6)"

@@ -76,7 +76,7 @@ def corrupt_fixture(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def anomaly_signals(
-    docs: DataFrame, text_col: str = "ctext"
+    docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
     """Adds n_mojibake, n_replacement, n_c1, enc_flagged columns."""
     t = F.col(text_col)
@@ -99,7 +99,7 @@ def anomaly_signals(
     )
 
 
-def repair(docs: DataFrame, text_col: str = "ctext") -> DataFrame:
+def repair(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic repair: fold each mojibake pair back to its
     intended codepoint, drop replacement chars. Idempotent (the
     repaired text contains none of the patterns it rewrites)."""
@@ -114,7 +114,10 @@ def anomaly_report(docs: DataFrame) -> DataFrame:
     """Per-source damage report over the deterministically-corrupted
     fixture: doc counts, flag counts, signal totals, and the net
     char delta the repair pass would apply."""
-    d = repair(anomaly_signals(corrupt_fixture(docs)))
+    d = repair(
+        anomaly_signals(corrupt_fixture(docs), text_col="ctext"),
+        text_col="ctext",
+    )
     return (
         d.groupBy("source")
         .agg(
@@ -138,11 +141,9 @@ def _sql_quote(s: str) -> str:
 
 
 def _occurrences_sql(col: str, needle: str) -> str:
-    q = _sql_quote(needle)
-    return (
-        f"(length({col}) - length(replace({col}, {q}, '')))"
-        f" // {len(needle)}"
-    )
+    from ..functions import sqldialect as sd
+
+    return sd.occ_count(col, _sql_quote(needle), len(needle), sd.DUCKDB)
 
 
 def _corrupt_sql(text: str = "text") -> str:

@@ -130,10 +130,18 @@ def sequence_layout_distributed(
     slice of the global order, which is what makes the per-partition
     exclusive offset well-defined.
     """
+    # localCheckpoint PINS the partitioning: repartitionByRange
+    # re-samples range boundaries per job (Spark documents the output
+    # as possibly inconsistent across runs), so without materializing
+    # here the phase-1 sums job and the phase-2 assign job could cut
+    # partitions differently and the (pid, source) offsets would be
+    # keyed against the wrong membership. Checkpointing also means the
+    # corpus-scale scan+shuffle happens once, not twice.
     arranged = (
         docs.select("doc_id", "source", _tokens_col().alias("tok_count"))
         .repartitionByRange(num_partitions, "source", "doc_id")
         .sortWithinPartitions("source", "doc_id")
+        .localCheckpoint(eager=True)
     )
 
     part_schema = StructType(
@@ -193,8 +201,12 @@ def sequence_layout_distributed(
         pdf = pdf.sort_values(["source", "doc_id"]).reset_index(drop=True)
         run = pdf.groupby("source", sort=False)["tok_count"]
         local_excl = run.cumsum() - pdf["tok_count"]
+        # strict lookup: phase 1 enumerated exactly the (pid, source)
+        # runs this phase reads (the checkpoint pinned partitioning),
+        # so a missing key means partition drift — fail loudly rather
+        # than silently restarting a stream at offset 0
         starts = pdf["source"].map(
-            lambda s: bc.value.get((pid, s), 0)
+            lambda s: bc.value[(pid, s)]
         ).astype("int64")
         pdf["start_tok"] = (starts + local_excl).astype("int64")
         yield pdf[["doc_id", "source", "tok_count", "start_tok"]]

@@ -172,3 +172,6 @@ def test_plan_has_no_global_sort(spark, docs):
         docs
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+    # a global sort renders as `Sort [...], true, 0` (global flag);
+    # the path's only sort must be the within-partition one
+    assert "], true, 0" not in plan
