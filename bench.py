@@ -640,7 +640,12 @@ def incremental_scaling(sf_dir: str, reps_hi: int = 32, rounds: int = 2) -> dict
 
     from pyspark.sql import functions as F
 
-    from fineweb_modal_spark.operators import dedup, reweight, similarity
+    from fineweb_modal_spark.operators import (
+        dedup,
+        reweight,
+        seqpack,
+        similarity,
+    )
 
     spark = get_spark(app_name="incremental_scaling")
     _warmup(spark)
@@ -664,6 +669,11 @@ def incremental_scaling(sf_dir: str, reps_hi: int = 32, rounds: int = 2) -> dict
         reweight.save_ratio(
             reweight.train_dsir_ratio(docs),
             os.path.join(d, "dsir_index.parquet"),
+        )
+        # packed-shard state: the |sources|-row running-totals relation
+        # a tokenization job persists beside its shards
+        seqpack.source_totals(docs).write.mode("overwrite").parquet(
+            os.path.join(d, "pack_state.parquet")
         )
     # Fixed delta, identical at both sizes: 1-in-10 of the ×1 corpus
     # re-crawled with a tail edit (near-dups of stored docs present at
@@ -757,9 +767,33 @@ def incremental_scaling(sf_dir: str, reps_hi: int = 32, rounds: int = 2) -> dict
                     ),
                 )
             ))
+            # packed-shard append: the delta continues each stored
+            # source stream at its |sources|-row running total vs the
+            # full repack a non-incremental design pays per crawl
+            pack_state = spark.read.parquet(
+                os.path.join(d, "pack_state.parquet")
+            )
+            pack_delta = delta.select(
+                "doc_id",
+                F.concat(
+                    F.lit("src"), (F.col("doc_id") % 20).cast("string")
+                ).alias("source"),
+                F.length("text").alias("n_chars"),
+            )
+            timed((tag, "pack_incr"), lambda: _force(
+                seqpack.sequence_layout_incremental(pack_delta, pack_state)
+            ))
+            timed((tag, "pack_repack"), lambda: _force(
+                seqpack.sequence_layout(
+                    docs.select("doc_id", "source", "n_chars").unionByName(
+                        pack_delta
+                    )
+                )
+            ))
     sizes = {}
     ivf = {}
     dsir = {}
+    pack = {}
     for tag in ("lo", "hi"):
         incr, merge, resign = (
             best[(tag, "incr")], best[(tag, "merge")], best[(tag, "resign")]
@@ -788,6 +822,14 @@ def incremental_scaling(sf_dir: str, reps_hi: int = 32, rounds: int = 2) -> dict
             "retrain_score_sec": round(dr, 3),
             "advantage_vs_retrain": round(dr / di, 2),
         }
+        pi, pr = best[(tag, "pack_incr")], best[(tag, "pack_repack")]
+        pack[tag] = {
+            "stored_docs": n_docs[tag],
+            "append_delta_sec": round(pi, 3),
+            "delta_docs_per_sec": round(n_delta / pi, 1),
+            "repack_all_sec": round(pr, 3),
+            "advantage_vs_repack": round(pr / pi, 2),
+        }
     shutil.rmtree(base, ignore_errors=True)
     return {
         "metric": "incremental_admission_scaling",
@@ -798,6 +840,7 @@ def incremental_scaling(sf_dir: str, reps_hi: int = 32, rounds: int = 2) -> dict
         "sizes": sizes,
         "ivf": ivf,
         "dsir": dsir,
+        "pack": pack,
         "index_growth": round(
             sizes["hi"]["incr_sec"] / sizes["lo"]["incr_sec"], 2
         ),
@@ -806,6 +849,10 @@ def incremental_scaling(sf_dir: str, reps_hi: int = 32, rounds: int = 2) -> dict
         ),
         "dsir_index_growth": round(
             dsir["hi"]["score_delta_sec"] / dsir["lo"]["score_delta_sec"], 2
+        ),
+        "pack_state_growth": round(
+            pack["hi"]["append_delta_sec"] / pack["lo"]["append_delta_sec"],
+            2,
         ),
         "corpus_growth": round(n_docs["hi"] / n_docs["lo"], 1),
         "sf": sf_dir,
