@@ -302,8 +302,8 @@ def compact_line(full: dict) -> dict:
             if k in sc
         },
         "detail": (
-            "BENCH_DETAIL.json; SCALING.json; SIZE_SCALING.json; "
-            "INCR_SCALING.json"
+            "BENCH_DETAIL.json; SCALING.json; SCALING_2_8.json; "
+            "SIZE_SCALING.json; INCR_SCALING.json"
         ),
     }
     line = json.dumps(out)
@@ -370,9 +370,10 @@ def scaling(
     * a pure-JVM control job (sha2 hash burn) runs at both levels as
       host calibration: engine efficiency can't exceed what the host
       gives an embarrassingly parallel JVM job that day;
-    * 2→8 cores rather than 8→32: beyond ~10 busy cores this host
-      saturates memory bandwidth (32 threads burn ~3× the CPU-seconds
-      for identical work), so 8→32 measures the host, not the engine.
+    * low core counts (default 1→4; 2→8 as the secondary pair)
+      rather than 8→32: beyond ~10 busy cores this host saturates
+      memory bandwidth (32 threads burn ~3× the CPU-seconds for
+      identical work), so 8→32 measures the host, not the engine.
       On a real cluster N and 4N executors each own their memory bus.
     """
     import os as _os
