@@ -113,7 +113,7 @@ _ROTATION_PRIORITY = [
     # remain covered by the committed full-registry sweep
     "pack_sequences", "pack_sequences_stats",
     "pack_sequences_incremental", "pack_hydrate_sequence",
-    "encoding_anomaly_report",
+    "pack_layout_stream", "encoding_anomaly_report",
 ]
 
 
@@ -5883,6 +5883,30 @@ def q_pack_hydrate_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(docs-in-sequence)."""
     docs = load_table(spark, sf_dir, "documents")
     return seqpack_op.hydrate_sequence(docs, seq_id=1)
+
+
+@register("pack_layout_stream", seqpack_op.layout_oracle_sql())
+def q_pack_layout_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sequence packer in the ingest stream: per-source running
+    token offsets held as O(|sources|) stream state
+    (applyInPandasWithState, append mode), every arriving doc emitted
+    with its packed coordinates. AvailableNow single batch ⇒ must
+    equal the batch `sequence_layout` relation exactly (the oracle IS
+    the batch layout SQL); state continuation across forced
+    multi-batch runs is pytest-proven (tests/test_seqpack.py)."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="gate_packstream_")
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).write.mode("overwrite").parquet(f"{d}/docs")
+    from ..streaming import incremental as streaming_inc_mod
+
+    return streaming_inc_mod.pack_layout_stream(
+        spark, f"{d}/docs", f"{d}/ckpt", query_name=f"gate_pack_{tag}"
+    )
 
 
 @register("encoding_anomaly_report", encfix_op.report_oracle_sql())

@@ -632,3 +632,98 @@ def stream_commit_pages(
     )
     q.awaitTermination()
     return total["n"]
+
+
+def pack_layout_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint: str,
+    query_name: str = "pack_layout",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The sequence packer IN THE INGEST STREAM: per-source running
+    token offsets are kept as stream state (one BIGINT per source —
+    the same |sources|-row relation `seqpack.source_totals` persists
+    for the batch-incremental path), and every arriving document is
+    emitted with its packed coordinates in append mode.
+
+    Semantics: packing order is arrival order, micro-batch by
+    micro-batch, sorted by doc_id within each (source, batch) group —
+    under AvailableNow each source's whole fixture arrives in one
+    group, so the emission is exactly the batch
+    `seqpack.sequence_layout` relation (the gate's oracle), and under
+    forced multi-batch execution the offsets continue across batches
+    (state continuation is pytest-proven equal to the batch layout
+    when files partition doc_id ranges in order). State is
+    O(|sources|), shuffle key is `source` — identical partitioning to
+    the batch window path, so the operator survives a 10^12-doc
+    stream."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from ..operators import seqpack as _seqpack
+
+    seq_len = _seqpack.SEQ_LEN
+
+    out_schema = (
+        "doc_id bigint, source string, tok_count bigint, "
+        "start_tok bigint, seq_first bigint, seq_last bigint, "
+        "n_seqs bigint, offset_in_seq bigint"
+    )
+
+    def _pack_fn(
+        key: tuple, pdfs: _Iterator[_pd.DataFrame], state: GroupState
+    ) -> _Iterator[_pd.DataFrame]:
+        (source,) = key
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = _pd.concat(frames, ignore_index=True)
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        base = state.get[0] if state.exists else 0
+        tok = (pdf["n_chars"].astype("int64") // 4 + 2).astype("int64")
+        start = base + tok.cumsum() - tok
+        end = start + tok - 1
+        state.update((int(base + int(tok.sum())),))
+        yield _pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "source": source,
+                "tok_count": tok,
+                "start_tok": start,
+                "seq_first": start // seq_len,
+                "seq_last": end // seq_len,
+                "n_seqs": end // seq_len - start // seq_len + 1,
+                "offset_in_seq": start % seq_len,
+            }
+        )
+
+    batch_schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger is not None:
+        # test hook: force multi-batch execution (files process in
+        # modification-time order) to prove state continuation
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir).select("doc_id", "source", "n_chars")
+    packed = stream.groupBy("source").applyInPandasWithState(
+        _pack_fn,
+        out_schema,
+        "tokens_so_far bigint",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        packed.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -165,6 +165,54 @@ def test_hydrate_covers_sequence_exactly(spark, docs):
             assert cursor == L
 
 
+def test_stream_single_batch_equals_batch_layout(spark, docs, tmp_path):
+    """AvailableNow over one fixture dir must reproduce the batch
+    layout exactly (the gate contract)."""
+    from fineweb_modal_spark.streaming import incremental as si
+
+    d = str(tmp_path / "docs")
+    docs.select("doc_id", "source", "n_chars").write.parquet(d)
+    out = si.pack_layout_stream(
+        spark, d, str(tmp_path / "ckpt"), query_name="t_pack_single"
+    ).collect()
+    batch = seqpack.sequence_layout(docs).collect()
+    assert _key(out) == _key(batch)
+
+
+def test_stream_state_continues_across_batches(spark, docs, tmp_path):
+    """Forced multi-batch execution (two files partitioning the
+    doc_id range in arrival order, maxFilesPerTrigger=1): per-source
+    offsets must CONTINUE across micro-batches and the combined
+    emission must equal the batch layout."""
+    import time as _time
+
+    from fineweb_modal_spark.streaming import incremental as si
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    lo = docs.where(F.col("doc_id") < 250).select(
+        "doc_id", "source", "n_chars"
+    )
+    hi = docs.where(F.col("doc_id") >= 250).select(
+        "doc_id", "source", "n_chars"
+    )
+    # availableNow processes files in modification-time order; the
+    # sleep guards against coarse (1 s) mtime granularity
+    lo.coalesce(1).write.parquet(str(d / "batch_a"))
+    _time.sleep(1.1)
+    hi.coalesce(1).write.parquet(str(d / "batch_b"))
+
+    out = si.pack_layout_stream(
+        spark,
+        str(d / "*"),
+        str(tmp_path / "ckpt"),
+        query_name="t_pack_multi",
+        max_files_per_trigger=1,
+    ).collect()
+    batch = seqpack.sequence_layout(docs).collect()
+    assert _key(out) == _key(batch)
+
+
 def test_plan_has_no_global_sort(spark, docs):
     """The distributed path must not contain a global Sort/Window over
     a single partition — its exchange is the range partitioning only."""
